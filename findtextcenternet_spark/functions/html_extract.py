@@ -1,0 +1,100 @@
+"""HTML main-content extraction (SURVEY.md S5/F10) — the pure-HTML path.
+
+Semantics mirror the reference's Aozora scraper
+(make_traindata/render_font/get_aozora.py:49-101):
+
+1. locate ``<div class="main_text">`` and its matching ``</div>``
+   (depth-aware over nested divs) — everything outside is boilerplate;
+2. kurikaeshi normalization ``／″＼``→``〴〵``, ``／＼``→``〳〵`` (:91-92);
+3. ``<ruby><rb>b</rb>…<rt>r</rt>…</ruby>`` → U+FFF9 b U+FFFA r U+FFFB (:93);
+4. gaiji ``<img …/d-dd-dd.png…>`` → codepoint (:95-98) — the reference uses
+   a CSV lookup table; this engine uses a deterministic arithmetic map
+   (``gaiji_codepoint``) that the synthetic corpus generator inverts, so
+   round-trip parity is exact without external data;
+5. strip single-line ``<span class="notes">…</span>`` (:99);
+6. strip all remaining tags (:100).
+
+Implementation is a brand-new vectorized pandas kernel: the regex steps run
+as pandas ``str.replace`` over the whole Arrow batch; only the depth-aware
+div scan is per-string (bounded by tag count, not text length). On Spark it
+runs as a scalar ``pandas_udf`` — one Python crossing per batch, never per
+row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+_MAIN_DIV_RE = re.compile(r'<div[^>]*class="main_text"[^>]*>')
+_DIV_RE = re.compile(r"<div\b[^>]*>|</div>")
+_RUBY_HTML_RE = re.compile(r"<ruby><rb>(.*?)</rb>.*?<rt>(.*?)</rt>.*?</ruby>")
+_GAIJI_RE = re.compile(r"<img [^>]*?/(\d-\d\d-\d\d)\.png[^>]*?>")
+_NOTES_RE = re.compile(r'<span class="notes">.*?</span>')
+_TAG_RE = re.compile(r"<[^>]*?>")
+
+
+def gaiji_codepoint(key: str) -> int:
+    """Deterministic gaiji key ('d1-d2-d3', JIS-plane style) -> codepoint.
+
+    cp = 0x4E00 + ((d1-1)*94 + (d2-1))*94 + (d3-1).  The corpus generator
+    uses the exact inverse (``gaiji_key``), making extraction lossless.
+    """
+    d1, d2, d3 = (int(p) for p in key.split("-"))
+    return 0x4E00 + ((d1 - 1) * 94 + (d2 - 1)) * 94 + (d3 - 1)
+
+
+def gaiji_key(cp: int) -> str:
+    off = cp - 0x4E00
+    if off < 0:
+        raise ValueError(f"codepoint below gaiji base: {cp:#x}")
+    d3 = off % 94
+    d2 = (off // 94) % 94
+    d1 = off // (94 * 94)
+    return f"{d1 + 1}-{d2 + 1:02d}-{d3 + 1:02d}"
+
+
+def _slice_main_text(html: str) -> str:
+    """Return the raw source between <div class="main_text"> and its
+    matching </div> (tags included; they are stripped later)."""
+    m = _MAIN_DIV_RE.search(html)
+    if m is None:
+        return ""
+    depth = 1
+    for tag in _DIV_RE.finditer(html, m.end()):
+        if tag.group(0).startswith("</"):
+            depth -= 1
+            if depth == 0:
+                return html[m.start() : tag.start()]
+        else:
+            depth += 1
+    return html[m.start() :]
+
+
+def extract_main_text(html: str) -> str:
+    """Full extraction kernel for one document (golden reference shares it)."""
+    text = _slice_main_text(html)
+    text = text.replace("／″＼", "〴〵").replace("／＼", "〳〵")
+    text = _RUBY_HTML_RE.sub("￹\\1￺\\2￻", text)
+    text = _GAIJI_RE.sub(lambda m: chr(gaiji_codepoint(m.group(1))), text)
+    text = _NOTES_RE.sub("", text)
+    text = _TAG_RE.sub("", text)
+    return text
+
+
+def extract_main_text_series(html: pd.Series) -> pd.Series:
+    """Vectorized batch kernel: Series[bytes|str] -> Series[str].
+
+    The regex cascade runs as pandas vectorized str ops; the div-depth scan
+    is the only per-string step.
+    """
+    s = html.map(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
+    s = s.map(_slice_main_text)
+    s = s.str.replace("／″＼", "〴〵", regex=False)
+    s = s.str.replace("／＼", "〳〵", regex=False)
+    s = s.str.replace(_RUBY_HTML_RE, "￹\\1￺\\2￻", regex=True)
+    s = s.map(lambda t: _GAIJI_RE.sub(lambda m: chr(gaiji_codepoint(m.group(1))), t) if "<img" in t else t)
+    s = s.str.replace(_NOTES_RE, "", regex=True)
+    s = s.str.replace(_TAG_RE, "", regex=True)
+    return s

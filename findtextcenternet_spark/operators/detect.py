@@ -1,0 +1,345 @@
+"""Detect stage (SURVEY.md §2 S1-S2, P1-P8, T3-T4, A1-A2, §3.1 step 3).
+
+The reference runs a CenterNet detector over overlapping 768×768 tiles and
+merges per-tile heatmaps with an interior mask (process_ocr_base.py:474-650).
+No model weights exist in this sandbox, so the detector forward pass is a
+deterministic surrogate: heatmaps are *rendered* from the page's layout
+record with the reference's own label math — Gaussian center stamps on the
+keypoint channel and ``log(size/1024)+3`` on the size channels
+(dataset/processer.pyx:133-182) — and the glyph feature map carries a
+deterministic invertible 100-d embedding per codepoint. Everything
+downstream of the forward pass (tiling, interior-mask overlap merge, 3×3
+max-pool NMS, sigmoid, cutoff, size decode, greedy IoU NMS, separator-mask
+filter) is the real algorithm, vectorized NumPy.
+
+The real-model path differs only in the function that produces the tile
+heatmaps; the plumbing (schema, partitioning, batch shape) is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..config import (
+    CUT_OFF,
+    FEATURE_DIM,
+    HM,
+    MODULOS,
+    NMS_FILL,
+    NMS_INTER,
+    NMS_IOU,
+    SCALE,
+    STRIDE,
+)
+
+STRIDE_CELLS = STRIDE // SCALE        # 115
+TILE_CELLS = HM                        # 192
+_MARGIN = (TILE_CELLS - STRIDE_CELLS) // 2  # interior-mask half-overlap margin
+
+# heatmap channels (models/detector.py:289-296 ordering, minus the fused
+# peak channel which we compute with the explicit 3x3 NMS below)
+CH_KEY, CH_SZX, CH_SZY, CH_LINE, CH_SEP, CH_C1, CH_C2, CH_C4, CH_C8 = range(9)
+N_CH = 9
+
+_ON_LOGIT = 4.0       # sigmoid(4) ≈ 0.982 — trained-model "flag on"
+_OFF_LOGIT = -4.0     # sigmoid(-4) ≈ 0.018
+_BG_KEY_LOGIT = -10.0
+_PEAK_LOGIT = math.log(0.9 / 0.1)  # center peak p = 0.9
+
+
+def feature_embedding(codepoints: np.ndarray) -> np.ndarray:
+    """Deterministic invertible 100-d glyph embedding.
+
+    Components 0..2 carry the codepoint's CRT residues (scaled to [0,1));
+    the rest is deterministic pseudo-noise so the vector is full-width like
+    the reference's learned features (util_func.py:9 feature_dim=100).
+    """
+    cps = np.asarray(codepoints, dtype=np.int64)
+    n = cps.shape[0]
+    out = np.zeros((n, FEATURE_DIM), dtype=np.float32)
+    for i, m in enumerate(MODULOS):
+        out[:, i] = (cps % m).astype(np.float32) / np.float32(m)
+    # pseudo-noise: sin of codepoint times odd constants, deterministic
+    k = np.arange(3, FEATURE_DIM, dtype=np.float64)
+    out[:, 3:] = np.sin(cps[:, None].astype(np.float64) * (2 * k + 1) * 0.7311).astype(
+        np.float32
+    )
+    return out
+
+
+def residues_from_feature(features: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Invert feature_embedding: (n,100) -> per-modulus residue arrays."""
+    f = np.asarray(features, dtype=np.float64)
+    return tuple(
+        np.rint(f[:, i] * m).astype(np.int64) % m for i, m in enumerate(MODULOS)
+    )
+
+
+def sigmoid(x: np.ndarray) -> np.ndarray:
+    return (np.tanh(x / 2.0) + 1.0) / 2.0
+
+
+# --- surrogate forward pass: stamp one tile from the layout ---------------
+
+def _stamp_tile(layout: dict, ox: int, oy: int) -> np.ndarray:
+    """Render the (N_CH, TILE_CELLS, TILE_CELLS) logit maps for the tile
+    whose top-left heatmap cell is (ox, oy) in page-cell coordinates."""
+    hm = np.zeros((N_CH, TILE_CELLS, TILE_CELLS), dtype=np.float32)
+    hm[CH_KEY] = _BG_KEY_LOGIT
+    hm[CH_C1:CH_C8 + 1] = _OFF_LOGIT
+    hm[CH_LINE] = _OFF_LOGIT
+    hm[CH_SEP] = _OFF_LOGIT
+
+    yy, xx = np.mgrid[0:TILE_CELLS, 0:TILE_CELLS]
+
+    for g in layout["glyphs"]:
+        gx = g["cx"] / SCALE - ox
+        gy = g["cy"] / SCALE - oy
+        if gx < -8 or gx >= TILE_CELLS + 8 or gy < -8 or gy >= TILE_CELLS + 8:
+            continue
+        sx = max(g["w"] / SCALE / 4.0, 1.0)
+        sy = max(g["h"] / SCALE / 4.0, 1.0)
+        x0, x1 = max(0, int(gx - 4 * sx)), min(TILE_CELLS, int(gx + 4 * sx) + 1)
+        y0, y1 = max(0, int(gy - 4 * sy)), min(TILE_CELLS, int(gy + 4 * sy) + 1)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        d2 = ((xx[y0:y1, x0:x1] - gx) / sx) ** 2 + ((yy[y0:y1, x0:x1] - gy) / sy) ** 2
+        stamp = (_PEAK_LOGIT - _BG_KEY_LOGIT) * np.exp(-d2 / 2.0) + _BG_KEY_LOGIT
+        np.maximum(hm[CH_KEY, y0:y1, x0:x1], stamp.astype(np.float32),
+                   out=hm[CH_KEY, y0:y1, x0:x1])
+        cix, ciy = int(round(gx)), int(round(gy))
+        if 0 <= cix < TILE_CELLS and 0 <= ciy < TILE_CELLS:
+            hm[CH_SZX, ciy, cix] = np.float32(math.log(g["w"] / 1024.0) + 3.0)
+            hm[CH_SZY, ciy, cix] = np.float32(math.log(g["h"] / 1024.0) + 3.0)
+            hm[CH_C1, ciy, cix] = _ON_LOGIT if g["ruby"] else _OFF_LOGIT
+            hm[CH_C2, ciy, cix] = _ON_LOGIT if (g["rubybase"] or g["ruby"]) else _OFF_LOGIT
+            hm[CH_C4, ciy, cix] = _ON_LOGIT if g["emphasis"] else _OFF_LOGIT
+            hm[CH_C8, ciy, cix] = _ON_LOGIT if g["space"] else _OFF_LOGIT
+
+    for tl in layout["textlines"]:
+        x0 = int(round(tl["x1"] / SCALE)) - ox
+        x1 = int(round(tl["x2"] / SCALE)) - ox
+        y0 = int(round(tl["y1"] / SCALE)) - oy
+        y1 = int(round(tl["y2"] / SCALE)) - oy
+        if tl["vertical"]:
+            lo, hi = max(0, min(y0, y1)), min(TILE_CELLS - 1, max(y0, y1))
+            if 0 <= x0 < TILE_CELLS and lo <= hi:
+                hm[CH_LINE, lo:hi + 1, x0] = _ON_LOGIT
+        else:
+            lo, hi = max(0, min(x0, x1)), min(TILE_CELLS - 1, max(x0, x1))
+            if 0 <= y0 < TILE_CELLS and lo <= hi:
+                hm[CH_LINE, y0, lo:hi + 1] = _ON_LOGIT
+
+    for sp in layout.get("seps", []):
+        x0 = int(round(sp["x1"] / SCALE)) - ox
+        x1 = int(round(sp["x2"] / SCALE)) - ox
+        y0 = int(round(sp["y1"] / SCALE)) - oy
+        y1 = int(round(sp["y2"] / SCALE)) - oy
+        if y0 == y1:
+            lo, hi = max(0, min(x0, x1)), min(TILE_CELLS - 1, max(x0, x1))
+            if 0 <= y0 < TILE_CELLS and lo <= hi:
+                hm[CH_SEP, y0, lo:hi + 1] = _ON_LOGIT
+        elif x0 == x1:
+            lo, hi = max(0, min(y0, y1)), min(TILE_CELLS - 1, max(y0, y1))
+            if 0 <= x0 < TILE_CELLS and lo <= hi:
+                hm[CH_SEP, lo:hi + 1, x0] = _ON_LOGIT
+
+    return hm
+
+
+def tile_origins(n_cells: int) -> list[int]:
+    """Tile offsets covering [0, n_cells) with stride STRIDE_CELLS
+    (process_ocr_base.py:70-76 tiling, in heatmap cells)."""
+    if n_cells <= TILE_CELLS:
+        return [0]
+    out = list(range(0, n_cells - TILE_CELLS, STRIDE_CELLS))
+    out.append(n_cells - TILE_CELLS)
+    return out
+
+
+def render_page_heatmaps(layout: dict) -> np.ndarray:
+    """Tile fan-out (P1) + interior mask (P2) + overlap-max merge (A1).
+
+    Returns the merged (N_CH, H_cells, W_cells) page logit maps. The merge
+    is elementwise max over masked tiles, exactly the reference scheme
+    (process_ocr_base.py:480-516).
+    """
+    wc = int(math.ceil(layout["page_w"] / SCALE))
+    hc = int(math.ceil(layout["page_h"] / SCALE))
+    page = np.full((N_CH, hc, wc), -np.inf, dtype=np.float32)
+    xs = tile_origins(wc)
+    ys = tile_origins(hc)
+    for oy in ys:
+        for ox in xs:
+            tile = _stamp_tile(layout, ox, oy)
+            # interior mask: keep the interior half-overlap margin except
+            # at page edges (process_ocr_base.py:498-503)
+            x_lo = _MARGIN if ox > 0 else 0
+            x_hi = TILE_CELLS - _MARGIN if ox + TILE_CELLS < wc else TILE_CELLS
+            y_lo = _MARGIN if oy > 0 else 0
+            y_hi = TILE_CELLS - _MARGIN if oy + TILE_CELLS < hc else TILE_CELLS
+            # clip to page bounds
+            x_hi = min(x_hi, wc - ox)
+            y_hi = min(y_hi, hc - oy)
+            view = page[:, oy + y_lo:oy + y_hi, ox + x_lo:ox + x_hi]
+            np.maximum(view, tile[:, y_lo:y_hi, x_lo:x_hi], out=view)
+    # cells never covered by an interior mask can only occur if stride >
+    # 2*margin; fill from -inf for safety
+    np.nan_to_num(page, copy=False, neginf=_BG_KEY_LOGIT)
+    return page
+
+
+def maxpool3x3(p: np.ndarray) -> np.ndarray:
+    """3×3 neighborhood max (T4, models/detector.py:289-296)."""
+    out = p.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            sl_y = slice(max(0, dy), p.shape[0] + min(0, dy))
+            sl_x = slice(max(0, dx), p.shape[1] + min(0, dx))
+            dl_y = slice(max(0, -dy), p.shape[0] + min(0, -dy))
+            dl_x = slice(max(0, -dx), p.shape[1] + min(0, -dx))
+            np.maximum(out[dl_y, dl_x], p[sl_y, sl_x], out=out[dl_y, dl_x])
+    return out
+
+
+def greedy_nms(boxes: np.ndarray) -> np.ndarray:
+    """Greedy IoU NMS in descending-score order (T3,
+    process_ocr_base.py:559-608): drop if IoU>0.5 with an accepted box, or
+    intersection>0.75·own area, or accepted-fill>0.5. Returns keep mask
+    aligned with the (already score-sorted) input (n,5)=(p,cx,cy,w,h)."""
+    n = boxes.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    x1 = boxes[:, 1] - boxes[:, 3] / 2
+    x2 = boxes[:, 1] + boxes[:, 3] / 2
+    y1 = boxes[:, 2] - boxes[:, 4] / 2
+    y2 = boxes[:, 2] + boxes[:, 4] / 2
+    area = boxes[:, 3] * boxes[:, 4]
+    acc: list[int] = []
+    for i in range(n):
+        if acc:
+            a = np.array(acc)
+            ix = np.minimum(x2[i], x2[a]) - np.maximum(x1[i], x1[a])
+            iy = np.minimum(y2[i], y2[a]) - np.maximum(y1[i], y1[a])
+            inter = np.clip(ix, 0, None) * np.clip(iy, 0, None)
+            iou = inter / (area[i] + area[a] - inter)
+            if (iou > NMS_IOU).any():
+                continue
+            if (inter > NMS_INTER * area[i]).any():
+                continue
+            if inter.sum() > NMS_FILL * area[i]:
+                continue
+        keep[i] = True
+        acc.append(i)
+    return keep
+
+
+def detect_page(layout: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Full detect stage for one page.
+
+    Returns (boxes, runs):
+      boxes: box_id, p, cx, cy, w, h, code1..code8, feature(len-100 list)
+      runs:  channel ('line'|'sep'), y (cell row), x1, x2 (inclusive cells)
+    """
+    page = render_page_heatmaps(layout)
+    p = sigmoid(page[CH_KEY])
+    pooled = maxpool3x3(p)
+    peak_mask = (p >= pooled) & (p >= CUT_OFF)
+    ys, xs = np.nonzero(peak_mask)
+    pv = p[ys, xs]
+
+    # W4 peak ranking: score desc, then (y, x) asc for determinism
+    order = np.lexsort((xs, ys, -pv))
+    ys, xs, pv = ys[order], xs[order], pv[order]
+
+    w = np.exp(page[CH_SZX, ys, xs].astype(np.float64) - 3.0) * 1024.0
+    h = np.exp(page[CH_SZY, ys, xs].astype(np.float64) - 3.0) * 1024.0
+    cx = xs.astype(np.float64) * SCALE
+    cy = ys.astype(np.float64) * SCALE
+
+    # P5: drop degenerate / page-exceeding sizes
+    ok = (w > 1.0) & (h > 1.0) & (w < layout["page_w"]) & (h < layout["page_h"])
+    ys, xs, pv, w, h, cx, cy = ys[ok], xs[ok], pv[ok], w[ok], h[ok], cx[ok], cy[ok]
+
+    # P7: separator-mask filter — drop boxes centered on separator pixels
+    sep_p = sigmoid(page[CH_SEP, ys, xs])
+    ok = sep_p <= 0.5
+    ys, xs, pv, w, h, cx, cy = ys[ok], xs[ok], pv[ok], w[ok], h[ok], cx[ok], cy[ok]
+
+    # T3: greedy IoU NMS in score order
+    keep = greedy_nms(np.stack([pv, cx, cy, w, h], axis=1))
+    ys, xs, pv, w, h, cx, cy = ys[keep], xs[keep], pv[keep], w[keep], h[keep], cx[keep], cy[keep]
+
+    # A2: code flags max-pooled over the 3×3 neighborhood of the center
+    codes = np.zeros((4, len(ys)), dtype=np.float64)
+    hc, wc = p.shape
+    for ci, ch in enumerate((CH_C1, CH_C2, CH_C4, CH_C8)):
+        cmax = np.full(len(ys), -np.inf, dtype=np.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                yy = np.clip(ys + dy, 0, hc - 1)
+                xx = np.clip(xs + dx, 0, wc - 1)
+                np.maximum(cmax, page[ch, yy, xx], out=cmax)
+        codes[ci] = sigmoid(cmax.astype(np.float64))
+
+    # glyph features read at the peak cells (surrogate: invertible embedding)
+    gl = layout["glyphs"]
+    feat_lookup: dict[tuple[int, int], int] = {}
+    cps = np.array([g["cp"] for g in gl], dtype=np.int64)
+    emb = feature_embedding(cps) if len(gl) else np.zeros((0, FEATURE_DIM), np.float32)
+    for i, g in enumerate(gl):
+        feat_lookup[(int(round(g["cy"] / SCALE)), int(round(g["cx"] / SCALE)))] = i
+    feats = np.zeros((len(ys), FEATURE_DIM), dtype=np.float32)
+    for j in range(len(ys)):
+        gi = feat_lookup.get((int(ys[j]), int(xs[j])), -1)
+        if gi >= 0:
+            feats[j] = emb[gi]
+
+    boxes = pd.DataFrame({
+        "box_id": np.arange(len(ys), dtype=np.int64),
+        "p": pv.astype(np.float64),
+        "cx": cx, "cy": cy, "w": w, "h": h,
+        "code1": codes[0], "code2": codes[1],
+        "code4": codes[2], "code8": codes[3],
+    })
+    boxes["feature"] = [row.tolist() for row in feats]
+
+    # RLE runs of the thresholded line / sep maps (group-stage input)
+    runs_rows = []
+    for name, ch in (("line", CH_LINE), ("sep", CH_SEP)):
+        mask = sigmoid(page[ch]) > 0.5
+        for y in range(mask.shape[0]):
+            row = mask[y]
+            if not row.any():
+                continue
+            d = np.diff(row.astype(np.int8))
+            starts = np.nonzero(d == 1)[0] + 1
+            ends = np.nonzero(d == -1)[0]
+            if row[0]:
+                starts = np.concatenate([[0], starts])
+            if row[-1]:
+                ends = np.concatenate([ends, [len(row) - 1]])
+            for s, e in zip(starts, ends):
+                runs_rows.append((name, y, int(s), int(e)))
+    runs = pd.DataFrame(runs_rows, columns=["channel", "y", "x1", "x2"])
+    if runs.empty:
+        runs = pd.DataFrame({"channel": pd.Series([], dtype=str),
+                             "y": pd.Series([], dtype=np.int64),
+                             "x1": pd.Series([], dtype=np.int64),
+                             "x2": pd.Series([], dtype=np.int64)})
+    return boxes, runs
+
+
+def parse_layout(html: bytes) -> dict:
+    """Parse the layout record out of a raster page's html column."""
+    from ..corpus import RASTER_MARKER
+
+    return json.loads(html[len(RASTER_MARKER):].decode("utf-8"))
