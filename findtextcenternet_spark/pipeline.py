@@ -1,0 +1,273 @@
+"""End-to-end Spark extraction pipeline (SURVEY.md §3.1 lifecycle).
+
+    pages ──┬─ html path:   pandas_udf extract_html            (narrow)
+            └─ raster path: mapInPandas(detect)                (narrow)
+                            → applyInPandas(url)(group+window) (shuffle 1)
+                            → mapInPandas(decode)              (narrow)
+                            → applyInPandas(url)(assemble)     (shuffle 2)
+            → unionByName → extracted docs
+
+Exactly two shuffles, both keyed on ``url`` (every other stage is narrow /
+Arrow-batched). Decode batches windows across pages, so a page with many
+windows never serializes a stage. Skewed hosts are handled by hashing on
+the full ``url`` (not domain) at the group shuffle plus AQE skew handling;
+an optional salted repartition spreads giant input files before detect.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .corpus import RASTER_MARKER
+from .functions.html_extract import extract_main_text_series
+from .functions.ruby import decode_ruby_col
+from .operators.assemble import assemble_page
+from .operators.decode import expand_window, segment_windows, tokenize_page
+from .operators.detect import detect_page, parse_layout
+from .operators.group import group_page
+
+_MARKER_PREFIX = RASTER_MARKER.decode()
+
+# ---------------------------------------------------------------- schemas
+
+DETECT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("kind", T.StringType()),          # 'box' | 'run'
+    T.StructField("box_id", T.LongType()),
+    T.StructField("p", T.DoubleType()),
+    T.StructField("cx", T.DoubleType()),
+    T.StructField("cy", T.DoubleType()),
+    T.StructField("w", T.DoubleType()),
+    T.StructField("h", T.DoubleType()),
+    T.StructField("code1", T.DoubleType()),
+    T.StructField("code2", T.DoubleType()),
+    T.StructField("code4", T.DoubleType()),
+    T.StructField("code8", T.DoubleType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+    T.StructField("channel", T.StringType()),        # runs only
+    T.StructField("ry", T.LongType()),
+    T.StructField("rx1", T.LongType()),
+    T.StructField("rx2", T.LongType()),
+])
+
+WINDOW_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("win_id", T.LongType()),
+    T.StructField("keep_back", T.LongType()),
+    T.StructField("tokens", T.ArrayType(T.ArrayType(T.FloatType()))),
+    T.StructField("meta", T.ArrayType(T.ArrayType(T.DoubleType()))),
+])
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("win_id", T.LongType()),
+    T.StructField("keep_back", T.LongType()),
+    T.StructField("pred", T.StringType()),
+    T.StructField("tok_of", T.ArrayType(T.LongType())),
+    T.StructField("meta", T.ArrayType(T.ArrayType(T.DoubleType()))),
+])
+
+SPAN_TYPE = T.StructType([
+    T.StructField("cx", T.DoubleType()), T.StructField("cy", T.DoubleType()),
+    T.StructField("w", T.DoubleType()), T.StructField("h", T.DoubleType()),
+    T.StructField("ch", T.StringType()),
+    T.StructField("blockidx", T.IntegerType()),
+    T.StructField("lineidx", T.IntegerType()),
+    T.StructField("subidx", T.IntegerType()),
+    T.StructField("ruby", T.IntegerType()),
+    T.StructField("rubybase", T.IntegerType()),
+    T.StructField("emphasis", T.IntegerType()),
+    T.StructField("vertical", T.IntegerType()),
+])
+LINE_TYPE = T.StructType([
+    T.StructField("x1", T.DoubleType()), T.StructField("y1", T.DoubleType()),
+    T.StructField("x2", T.DoubleType()), T.StructField("y2", T.DoubleType()),
+    T.StructField("blockidx", T.IntegerType()),
+    T.StructField("lineidx", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+])
+BLOCK_TYPE = T.StructType([
+    T.StructField("x1", T.DoubleType()), T.StructField("y1", T.DoubleType()),
+    T.StructField("x2", T.DoubleType()), T.StructField("y2", T.DoubleType()),
+    T.StructField("blockidx", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+])
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("aozora", T.StringType()),
+    T.StructField("noruby", T.StringType()),
+    T.StructField("spans", T.ArrayType(SPAN_TYPE)),
+    T.StructField("lines", T.ArrayType(LINE_TYPE)),
+    T.StructField("blocks", T.ArrayType(BLOCK_TYPE)),
+    T.StructField("path", T.StringType()),
+])
+
+# ---------------------------------------------------------------- stages
+
+
+def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one page per input row → box + run rows.
+
+    A real-model deployment loads broadcast weights once per Python worker
+    here (module-scope singleton); the surrogate has no weights.
+    """
+    for pdf in it:
+        out = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            layout = parse_layout(bytes(html))
+            boxes, runs = detect_page(layout)
+            if not boxes.empty:
+                b = boxes.copy()
+                b.insert(0, "url", url)
+                b.insert(1, "kind", "box")
+                b["channel"] = None
+                b["ry"] = -1
+                b["rx1"] = -1
+                b["rx2"] = -1
+                out.append(b)
+            if not runs.empty:
+                r = pd.DataFrame({
+                    "url": url, "kind": "run",
+                    "box_id": -1, "p": 0.0, "cx": 0.0, "cy": 0.0,
+                    "w": 0.0, "h": 0.0, "code1": 0.0, "code2": 0.0,
+                    "code4": 0.0, "code8": 0.0,
+                    "feature": None,
+                    "channel": runs["channel"],
+                    "ry": runs["y"].astype("int64"),
+                    "rx1": runs["x1"].astype("int64"),
+                    "rx2": runs["x2"].astype("int64"),
+                })
+                out.append(r)
+        if out:
+            yield pd.concat(out, ignore_index=True)[
+                [f.name for f in DETECT_SCHEMA.fields]]
+
+
+def _group_and_window(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas(url) kernel: group boxes into reading order, tokenize,
+    segment into decode windows."""
+    url = key[0]
+    boxes = pdf[pdf["kind"] == "box"][
+        ["box_id", "p", "cx", "cy", "w", "h",
+         "code1", "code2", "code4", "code8", "feature"]
+    ].sort_values("box_id").reset_index(drop=True)
+    runs = pd.DataFrame({
+        "channel": pdf.loc[pdf["kind"] == "run", "channel"],
+        "y": pdf.loc[pdf["kind"] == "run", "ry"],
+        "x1": pdf.loc[pdf["kind"] == "run", "rx1"],
+        "x2": pdf.loc[pdf["kind"] == "run", "rx2"],
+    }).sort_values(["channel", "y", "x1"]).reset_index(drop=True)
+
+    ordered = group_page(boxes, runs)
+    tokens, meta = tokenize_page(ordered)
+    rows = []
+    for wi, (start, end, keep_back) in enumerate(segment_windows(tokens)):
+        rows.append((url, wi, keep_back,
+                     [r.tolist() for r in tokens[start:end]],
+                     [r.tolist() for r in meta[start:end]]))
+    return pd.DataFrame(rows, columns=["url", "win_id", "keep_back",
+                                       "tokens", "meta"])
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: mask-predict decode, batched across pages."""
+    for pdf in it:
+        preds, toks = [], []
+        for tokens, meta in zip(pdf["tokens"], pdf["meta"]):
+            tok = np.array([np.asarray(t, dtype=np.float32) for t in tokens])
+            mt = np.array([np.asarray(m, dtype=np.float64) for m in meta])
+            pred, tok_of = expand_window(tok, mt)
+            preds.append(pred)
+            toks.append(tok_of.tolist())
+        yield pd.DataFrame({
+            "url": pdf["url"], "win_id": pdf["win_id"],
+            "keep_back": pdf["keep_back"], "pred": preds, "tok_of": toks,
+            "meta": pdf["meta"],
+        })
+
+
+def _assemble_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    url = key[0]
+    pdf = pdf.sort_values("win_id")
+    windows = [
+        {"pred": r.pred, "tok_of": np.asarray(r.tok_of, dtype=np.int64),
+         "meta": (np.array([np.asarray(m, dtype=np.float64) for m in r.meta])
+                  if len(r.meta) else np.zeros((0, 9))),
+         "keep_back": int(r.keep_back)}
+        for r in pdf.itertuples()
+    ]
+    rec = assemble_page(windows)
+    return pd.DataFrame([{
+        "url": url, "text": rec["text"], "aozora": rec["aozora"],
+        "noruby": rec["noruby"], "spans": rec["spans"],
+        "lines": rec["lines"], "blocks": rec["blocks"], "path": "raster",
+    }])
+
+
+# ---------------------------------------------------------------- pipeline
+
+
+@F.pandas_udf(T.StringType())
+def extract_html_udf(html: pd.Series) -> pd.Series:
+    return extract_main_text_series(html)
+
+
+def is_raster_col():
+    # cheap prefix probe on the binary column — stays JVM-side
+    return F.startswith(
+        F.col("html").cast("string"), F.lit(_MARKER_PREFIX))
+
+
+def extract_html_path(pages: DataFrame) -> DataFrame:
+    """The pure-HTML leg: one vectorized UDF, fully narrow."""
+    txt = extract_html_udf(F.col("html"))
+    return (
+        pages.filter(~is_raster_col())
+        .select(
+            "url",
+            txt.alias("text"),
+        )
+        .select(
+            "url", "text",
+            decode_ruby_col(F.col("text"), "aozora").alias("aozora"),
+            decode_ruby_col(F.col("text"), "noruby").alias("noruby"),
+            F.array().cast(T.ArrayType(SPAN_TYPE)).alias("spans"),
+            F.array().cast(T.ArrayType(LINE_TYPE)).alias("lines"),
+            F.array().cast(T.ArrayType(BLOCK_TYPE)).alias("blocks"),
+            F.lit("html").alias("path"),
+        )
+    )
+
+
+def extract_raster_path(pages: DataFrame) -> DataFrame:
+    """The raster leg: detect → group/window → decode → assemble."""
+    raster = pages.filter(is_raster_col()).select("url", "html")
+    detected = raster.mapInPandas(_detect_batches, DETECT_SCHEMA)
+    windows = detected.groupBy("url").applyInPandas(_group_and_window,
+                                                    WINDOW_SCHEMA)
+    decoded = windows.mapInPandas(_decode_batches, DECODED_SCHEMA)
+    return decoded.groupBy("url").applyInPandas(_assemble_group, DOC_SCHEMA)
+
+
+def extract_documents(pages: DataFrame) -> DataFrame:
+    """Full extraction: both legs, one output table."""
+    return extract_html_path(pages).unionByName(extract_raster_path(pages))
+
+
+def pages_from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    return spark.createDataFrame(pdf, schema=schema)
