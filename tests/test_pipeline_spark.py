@@ -1,0 +1,58 @@
+"""Distributed pipeline parity + determinism across parallelism
+(BASELINE.md: byte-identical per-url text at every parallelism level)."""
+
+import pandas as pd
+import pytest
+
+from findtextcenternet_spark.corpus import generate_pages
+from findtextcenternet_spark.golden import extract_corpus_golden
+from findtextcenternet_spark.pipeline import (
+    extract_documents,
+    pages_from_pandas,
+)
+
+N_DOCS = 80
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages(N_DOCS)
+
+
+def _run(spark, pdf, n_parts):
+    pages = pages_from_pandas(spark, pdf).repartition(n_parts, "url")
+    out = extract_documents(pages).toPandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def test_spark_matches_golden(spark, corpus):
+    out = _run(spark, corpus, 4)
+    golden = extract_corpus_golden(corpus).sort_values("url").reset_index(drop=True)
+    assert len(out) == len(golden) == N_DOCS
+    g = golden.set_index("url")
+    for r in out.itertuples():
+        assert r.text == g.loc[r.url, "text"], r.url
+        assert r.aozora == g.loc[r.url, "aozora"]
+        assert r.noruby == g.loc[r.url, "noruby"]
+
+
+def test_partitioning_invariance(spark, corpus):
+    a = _run(spark, corpus, 2)
+    b = _run(spark, corpus, 7)
+    pd.testing.assert_frame_equal(
+        a[["url", "text", "aozora", "noruby", "path"]],
+        b[["url", "text", "aozora", "noruby", "path"]],
+    )
+
+
+def test_raster_records_nonempty(spark, corpus):
+    out = _run(spark, corpus, 4)
+    rast = out[out.path == "raster"]
+    assert len(rast) > 0
+    for r in rast.itertuples():
+        assert len(r.spans) > 0
+        assert len(r.lines) > 0
+        assert len(r.blocks) > 0
+        # block texts joined reproduce the flat text ('\n\n' between blocks)
+        joined = "\n\n".join(b["text"].rstrip("\n") for b in r.blocks)
+        assert joined == r.text
