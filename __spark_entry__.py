@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: wraps the shared ``documents`` table into
+Common-Crawl-style HTML pages and runs the main-content extraction pipeline
+(findtextcenternet_spark.pipeline) over them.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data ops; oracles run on DuckDB over the same
+parquet. Extraction-pipeline entries that are not SQL-expressible
+(detect/group/decode) are registered without an oracle (rows-only check);
+their correctness gate is the byte-identical golden parity in tests/.
 """
 
 from __future__ import annotations
@@ -12,27 +16,75 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _wrap_documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → full HTML pages (boilerplate + main_text div)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit('<html><head><title>doc</title></head><body>'
+              '<div class="header"><h1>site</h1><a href="/nav">nav</a></div>'
+              '<div class="main_text">'),
+        F.col("text"),
+        F.lit('</div><div class="footer">boilerplate footer</div>'
+              "</body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("doc_id"),
+        html.cast("binary").alias("html"),
+        "text", "lang",
+    )
+
+
+def _extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML extraction leg over wrapped documents; inverts the wrap, so the
+    DuckDB oracle is simply the original documents table."""
+    from findtextcenternet_spark.pipeline import extract_html_udf
+
+    pages = _wrap_documents_as_pages(spark, sf_dir)
+    return pages.select(
+        "doc_id", extract_html_udf(F.col("html")).alias("text"))
+
+
+def _extract_synthetic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-leg pipeline over the deterministic synthetic corpus
+    (detect/group/decode are not SQL-expressible → rows-only check; the
+    byte-parity gate lives in tests/test_pipeline_spark.py)."""
+    from findtextcenternet_spark.corpus import generate_pages
+    from findtextcenternet_spark.pipeline import (
+        extract_documents,
+        pages_from_pandas,
+    )
+
+    pages = pages_from_pandas(spark, generate_pages(200))
+    out = extract_documents(pages)
+    return out.select("url", "path", "text",
+                      F.size("spans").alias("n_spans"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _extract_html_docs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from findtextcenternet_spark.plans import full_registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in full_registry().items()
+    }
+    out["s5_extract_html_docs"] = _extract_html_docs
+    out["pipeline_extract_corpus"] = _extract_synthetic_corpus
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from findtextcenternet_spark.plans import full_registry
+
+    out = {name: sql for name, (_fn, sql) in full_registry().items()
+           if sql is not None}
+    out["s5_extract_html_docs"] = "SELECT doc_id, text FROM documents"
+    return out

@@ -1,0 +1,408 @@
+"""Training-data pipeline operators over documents/embeddings.
+
+Beyond the reference's own operators (it harvests web text for training,
+train_data3/make_data.py), a 100 TB corpus pipeline needs dedup, similarity
+search, and text-quality analysis. Each op is native Catalyst (higher-order
+array functions, no Python UDF) with a DuckDB oracle.
+
+Hash discipline: every hash is md5-of-utf8 (identical across Spark and
+DuckDB), so minhash/simhash signatures hash-compare exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .relational import _t, register
+
+# ---------------------------------------------------------------- dedup
+
+@register("dedup_exact", """
+SELECT md5(text) AS fp, count(*) AS n_dups,
+       min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep min doc_id. One shuffle on the
+    digest; at 100 TB this is the cheapest dedup pass."""
+    return (_t(spark, sf_dir, "documents")
+            .groupBy(F.md5(F.encode("text", "utf-8")).alias("fp"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keeper")))
+
+
+_N_PERM = 8   # minhash permutations
+_BANDS = 4    # 2 rows per band
+
+
+def _shingles_spark(col="text"):
+    """Word 3-gram shingle array (native higher-order functions)."""
+    words = F.split(F.col(col), " ")
+    return F.when(
+        F.size(words) >= 3,
+        F.expr("transform(sequence(1, size(split(text, ' ')) - 2), "
+               "i -> concat_ws(' ', split(text, ' ')[i-1], "
+               "split(text, ' ')[i], split(text, ' ')[i+1]))")
+    ).otherwise(F.array(F.col(col)))
+
+
+_SHINGLES_SQL = """
+CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+  [array_to_string((string_split(text, ' '))[i:i+2], ' ')
+   for i in range(1, len(string_split(text, ' ')) - 1)]
+ELSE [text] END
+"""
+
+
+def _minhash_sql() -> str:
+    sig = ", ".join(
+        f"list_min([md5('{p}|' || s) for s in sh]) AS m{p}"
+        for p in range(_N_PERM))
+    return f"WITH sh_t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)\nSELECT doc_id, {sig} FROM sh_t"
+
+
+@register("dedup_minhash_signature", _minhash_sql())
+def dedup_minhash_signature(spark, sf_dir):
+    """MinHash signatures: 8 permutations as min(md5(salt||shingle)).
+
+    shingle → minhash entirely with array expressions (JVM-side); no
+    explode, so a document never leaves its row until the band join."""
+    df = (_t(spark, sf_dir, "documents")
+          .select("doc_id", _shingles_spark().alias("sh")))
+    cols = [
+        F.array_min(F.expr(
+            f"transform(sh, s -> md5(cast(concat('{p}|', s) as binary)))"
+        )).alias(f"m{p}")
+        for p in range(_N_PERM)
+    ]
+    return df.select("doc_id", *cols)
+
+
+def _band_sql() -> str:
+    bands = []
+    for b in range(_BANDS):
+        bands.append(
+            f"SELECT {b} AS band, m{2*b} || m{2*b+1} AS band_key, doc_id FROM sig")
+    unions = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH sh_t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+sig AS (SELECT doc_id, {", ".join(
+    f"list_min([md5('{p}|' || s) for s in sh]) AS m{p}"
+    for p in range(_N_PERM))} FROM sh_t),
+b AS ({unions})
+SELECT band, band_key, count(*) AS n_docs, min(doc_id) AS keeper
+FROM b GROUP BY band, band_key HAVING count(*) >= 2
+"""
+
+
+@register("dedup_minhash_lsh", _band_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding: signature → 4 bands of 2 hashes → bucket
+    groupBy; buckets with ≥2 docs are near-dup candidates. The band
+    explode is a fixed 4× row fan-out, then one shuffle on band_key."""
+    sig = dedup_minhash_signature(spark, sf_dir)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).alias("band_key"))
+        for b in range(_BANDS)
+    ])
+    return (sig.select("doc_id", F.explode(bands).alias("bk"))
+            .select("doc_id", F.col("bk.band").alias("band"),
+                    F.col("bk.band_key").alias("band_key"))
+            .groupBy("band", "band_key")
+            .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+            .filter(F.col("n_docs") >= 2))
+
+
+_SIM_BITS = 32
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+           FROM documents)
+SELECT doc_id,
+       array_to_string([
+         CASE WHEN list_sum([CASE WHEN ascii(substr(md5(wd), b + 1, 1)) % 2 = 1
+                                  THEN 1 ELSE -1 END
+                             for wd in words]) >= 0
+              THEN '1' ELSE '0' END
+         for b in range({_SIM_BITS})], '') AS simhash
+FROM w
+"""
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """SimHash document fingerprint: per-word md5, bit b = parity of hex
+    char b, document bit = sign of the word-vote sum. Near-dups share most
+    bits (compare by band equality / hamming)."""
+    df = (_t(spark, sf_dir, "documents")
+          .select("doc_id",
+                  F.array_distinct(F.split("text", " ")).alias("words")))
+    df = df.withColumn(
+        "hashes", F.expr("transform(words, wd -> md5(cast(wd as binary)))"))
+    bits = [
+        F.when(
+            F.expr(
+                f"aggregate(hashes, 0, (acc, h) -> acc + "
+                f"CASE WHEN ascii(substring(h, {b + 1}, 1)) % 2 = 1 "
+                f"THEN 1 ELSE -1 END)") >= 0,
+            F.lit("1")).otherwise(F.lit("0"))
+        for b in range(_SIM_BITS)
+    ]
+    return df.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+@register("dedup_ngram_jaccard", """
+WITH w AS (
+  SELECT doc_id, lang, n_chars // 64 AS bucket,
+         list_distinct(string_split(text, ' ')) AS words
+  FROM documents),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+         (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))
+           AS jac
+  FROM w a JOIN w b
+    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+FROM p WHERE jac >= 0.8
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-set Jaccard near-dup over blocked candidate pairs (block =
+    (lang, length-bucket) so the self-join never goes quadratic)."""
+    w = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "lang",
+                 (F.col("n_chars") / 64).cast("long").alias("bucket"),
+                 F.array_distinct(F.split("text", " ")).alias("words")))
+    a = w.alias("a")
+    b = w.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = (F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter)
+    jac = inter.cast("double") / union
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.round(jac, 4).alias("jaccard"),
+                    jac.alias("_jac"))
+            .filter(F.col("_jac") >= 0.8)
+            .drop("_jac"))
+
+
+# ---------------------------------------------------------------- similarity
+
+@register("ann_cosine_topk", """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, e.label,
+         list_dot_product(e.embedding, q.qv) /
+         (sqrt(list_dot_product(e.embedding, e.embedding)) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+r AS (SELECT vec_id, label, sim,
+             row_number() OVER (ORDER BY sim DESC, vec_id) AS rn FROM s)
+SELECT vec_id, label, round(sim, 4) AS cos_sim FROM r WHERE rn <= 10
+""")
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs a query vector: the exact baseline for
+    ANN. zip_with + aggregate keeps the dot product JVM-side; the query
+    side is a 1-row broadcast."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv")))
+    dot = F.expr("aggregate(zip_with(embedding, qv, (x, y) -> x * y), "
+                 "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    n1 = F.sqrt(F.expr("aggregate(transform(embedding, x -> x * x), "
+                       "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    n2 = F.sqrt(F.expr("aggregate(transform(qv, x -> x * x), "
+                       "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    s = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+         .select("vec_id", "label", (dot / (n1 * n2)).alias("sim")))
+    w = Window.orderBy(F.desc("sim"), "vec_id")
+    return (s.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("vec_id", "label", F.round("sim", 4).alias("cos_sim")))
+
+
+def _planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (literal in both engines)."""
+    return [[round(math.sin(0.7311 * (97 * p + i + 1)), 6)
+             for i in range(dim)] for p in range(n_planes)]
+
+
+def _lsh_sql() -> str:
+    planes = _planes()
+    sign_exprs = []
+    for p, pl in enumerate(planes):
+        lit = "[" + ", ".join(f"CAST({v} AS FLOAT)" for v in pl) + "]"
+        sign_exprs.append(
+            f"CASE WHEN list_dot_product(embedding, {lit}) >= 0 "
+            f"THEN '1' ELSE '0' END")
+    bucket = " || ".join(sign_exprs)
+    return f"""
+SELECT {bucket} AS bucket, count(*) AS n,
+       CAST(min(vec_id) AS BIGINT) AS min_vec
+FROM embeddings GROUP BY 1
+"""
+
+
+@register("ann_lsh_buckets", _lsh_sql())
+def ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing: 4 sign bits per vector → 16
+    buckets. At scale this pre-partitions ANN candidates so the top-k probe
+    touches one bucket instead of the full table."""
+    e = _t(spark, sf_dir, "embeddings")
+    signs = []
+    for pl in _planes():
+        arr = F.array(*[F.lit(float(v)).cast("float") for v in pl])
+        dot = F.expr(
+            "aggregate(zip_with(embedding, pl, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        signs.append((arr, dot))
+    df = e
+    bit_cols = []
+    for i, (arr, _) in enumerate(signs):
+        df = df.withColumn(f"_pl{i}", arr)
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, _pl{i}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        bit_cols.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return (df.select("vec_id", F.concat(*bit_cols).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("vec_id").cast("long").alias("min_vec")))
+
+
+@register("emb_label_centroids", """
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS v
+  FROM embeddings)
+SELECT label, pos, round(avg(v), 4) AS c
+FROM u GROUP BY label, pos
+""")
+def emb_label_centroids(spark, sf_dir):
+    """Per-label centroid (IVF coarse quantizer training step): posexplode +
+    groupBy — the scale path computes centroids once, broadcasts them."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (e.select("label", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(F.round(F.avg("v"), 4).alias("c")))
+
+
+# ---------------------------------------------------------------- text stats
+
+_STOPWORDS = {
+    "en": (" the ", " and ", " of "),
+    "fr": (" le ", " la ", " et "),
+    "de": (" der ", " und ", " die "),
+    "es": (" el ", " los ", " que "),
+}
+
+
+def _count_occurrences_sql(hay: str, needle: str) -> str:
+    return (f"(length({hay}) - length(replace({hay}, '{needle}', ''))) "
+            f"/ length('{needle}')")
+
+
+def _count_occurrences_col(hay, needle: str):
+    return ((F.length(hay) - F.length(F.replace(hay, F.lit(needle), F.lit(""))))
+            / len(needle))
+
+
+@register("lang_id", f"""
+WITH s AS (
+  SELECT doc_id, lang, ' ' || text || ' ' AS t FROM documents),
+sc AS (
+  SELECT doc_id, lang,
+         {" , ".join(
+    f"({' + '.join(_count_occurrences_sql('t', wd) for wd in wds)}) AS s_{lg}"
+    for lg, wds in _STOPWORDS.items())},
+         CASE WHEN regexp_matches(t, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 1 ELSE 0 END AS s_zh
+  FROM s)
+SELECT doc_id, lang,
+       CASE WHEN s_zh = 1 THEN 'zh'
+            WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+            WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+            WHEN s_de >= s_es THEN 'de'
+            ELSE 'es' END AS pred_lang
+FROM sc
+""")
+def lang_id(spark, sf_dir):
+    """Language-ID heuristic: CJK script probe + stopword occurrence
+    counting via pure string arithmetic (JVM-side, identical in SQL)."""
+    t = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    d = _t(spark, sf_dir, "documents").withColumn("t", t)
+    scores = {
+        lg: sum_col
+        for lg, wds in _STOPWORDS.items()
+        for sum_col in [sum((_count_occurrences_col(F.col("t"), wd)
+                             for wd in wds[1:]),
+                            _count_occurrences_col(F.col("t"), wds[0]))]
+    }
+    s_zh = F.when(F.col("t").rlike("[\\u4e00-\\u9fff]"), 1).otherwise(0)
+    pred = (F.when(s_zh == 1, "zh")
+            .when((scores["en"] >= scores["fr"]) & (scores["en"] >= scores["de"])
+                  & (scores["en"] >= scores["es"]), "en")
+            .when((scores["fr"] >= scores["de"]) & (scores["fr"] >= scores["es"]),
+                  "fr")
+            .when(scores["de"] >= scores["es"], "de")
+            .otherwise("es"))
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register("quality_score", """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       round(CAST(length(text) AS DOUBLE) /
+             len(string_split(text, ' ')), 4) AS mean_token_len,
+       round(CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS punct_ratio
+FROM documents WHERE length(text) > 0
+""")
+def quality_score(spark, sf_dir):
+    """Quality scoring: token count, mean token length, non-letter ratio —
+    all string arithmetic, no UDF."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = F.split("text", " ")
+    n_tokens = F.size(words).cast("long")
+    return d.select(
+        "doc_id", n_tokens.alias("n_tokens"),
+        F.round(F.length("text").cast("double") / F.size(words), 4)
+        .alias("mean_token_len"),
+        F.round(F.length(F.regexp_replace("text", "[a-zA-Z ]", ""))
+                .cast("double") / F.length("text"), 4).alias("punct_ratio"))
+
+
+@register("token_count_total", """
+SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+""")
+def token_count_total(spark, sf_dir):
+    """Corpus token counting per language (whitespace tokenizer)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.sum(F.size(F.split("text", " "))).cast("long")
+                 .alias("total_tokens"),
+                 F.count("*").alias("n_docs")))
+
+
+@register("doc_fingerprint", """
+SELECT doc_id, md5(text) AS fp,
+       CAST(length(text) AS BIGINT) AS n_bytes
+FROM documents
+""")
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: content digest + length (join key for
+    cross-snapshot dedup / lineage)."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.md5(F.encode("text", "utf-8")).alias("fp"),
+                    F.length("text").cast("long").alias("n_bytes")))
