@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract): headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "bench_total_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "docs_per_sec": <extraction throughput, the BASELINE.json north metric>,
+   "extract_docs": N, "extract_sec": S}
+
+The extraction corpus is the deterministic synthetic pages table
+(findtextcenternet_spark.corpus, pure function of (seed, doc_id)); it is
+materialized to parquet once under .bench_cache/ and reused so repeated
+runs measure the pipeline, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",     # classic multi-agg groupBy, one shuffle
+    "a14_dense_rank",         # partitioned window
+    "j6_asof_next_line",      # as-of lead window join
+    "sessionize",             # gap sessionization (lag + running sum)
+    "dedup_exact",            # hash-groupBy dedup
+    "dedup_minhash_lsh",      # shingle→minhash→band→bucket
+    "dedup_simhash",          # bitwise fingerprint
+    "ann_cosine_topk",        # brute-force cosine top-k
+    "ann_lsh_buckets",        # hyperplane LSH bucketing
+    "lang_id",                # n-gram/stopword language ID
+    "quality_score",          # text quality stats
+    "token_count_total",      # corpus token counting
+]
+
+
+def _bench_pages_parquet(n_docs: int) -> str:
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"pages_{n_docs}.parquet")
+    if not os.path.exists(path):
+        from findtextcenternet_spark.corpus import write_pages_parquet
+        write_pages_parquet(path, n_docs)
+    return path
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
+
+    from findtextcenternet_spark.plans import full_registry
+    from findtextcenternet_spark.pipeline import extract_documents
+    from findtextcenternet_spark.sources.session import get_spark
+
+    pages_path = _bench_pages_parquet(n_docs)
+    spark = get_spark(app="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = full_registry()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Python-worker pools so q1 doesn't pay session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    for name in HEADLINE:
+        fn, _sql = reg[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    pages = spark.read.parquet(pages_path)
+    t0 = time.time()
+    extract_documents(pages).write.format("noop").mode("overwrite").save()
+    extract_sec = time.time() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_sec", "value": total, "unit": "sec",
+        "queries": timings, "sf": sf,
+        "docs_per_sec": round(n_docs / extract_sec, 2),
+        "extract_docs": n_docs, "extract_sec": round(extract_sec, 3),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
