@@ -257,8 +257,33 @@ def extract_raster_path(pages: DataFrame) -> DataFrame:
     return decoded.groupBy("url").applyInPandas(_assemble_group, DOC_SCHEMA)
 
 
-def extract_documents(pages: DataFrame) -> DataFrame:
+def spread_pages(pages: DataFrame, num_partitions: int | None = None,
+                 ) -> DataFrame:
+    """Hash-repartition the input on ``url`` before the compute legs.
+
+    Two jobs at once (SURVEY.md §4 "what needs explicit engineering"):
+      * parallelism floor — a corpus written as few giant files (or one
+        bench file) would otherwise run the whole UDF pipeline on a handful
+        of cores; scan splits can't cross parquet row groups;
+      * skew spread — url is unique, so hashing on it is the degenerate
+        (perfect) case of salted-repartition by domain: a hot host's pages
+        scatter uniformly instead of landing in one task.
+
+    Both downstream legs reuse the single exchange (Catalyst ReuseExchange),
+    so this adds exactly one shuffle of the raw pages.
+    """
+    if num_partitions is None:
+        sc = pages.sparkSession.sparkContext
+        num_partitions = sc.defaultParallelism * 2
+    if num_partitions <= 0:
+        return pages
+    return pages.repartition(num_partitions, F.col("url"))
+
+
+def extract_documents(pages: DataFrame,
+                      num_partitions: int | None = None) -> DataFrame:
     """Full extraction: both legs, one output table."""
+    pages = spread_pages(pages, num_partitions)
     return extract_html_path(pages).unionByName(extract_raster_path(pages))
 
 

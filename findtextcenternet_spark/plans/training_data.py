@@ -38,15 +38,22 @@ _N_PERM = 8   # minhash permutations
 _BANDS = 4    # 2 rows per band
 
 
-def _shingles_spark(col="text"):
-    """Word 3-gram shingle array (native higher-order functions)."""
-    words = F.split(F.col(col), " ")
-    return F.when(
-        F.size(words) >= 3,
-        F.expr("transform(sequence(1, size(split(text, ' ')) - 2), "
-               "i -> concat_ws(' ', split(text, ' ')[i-1], "
-               "split(text, ' ')[i], split(text, ' ')[i+1]))")
-    ).otherwise(F.array(F.col(col)))
+def _with_shingles(df):
+    """Word 3-gram shingle array as a two-step projection.
+
+    The word split is materialized ONCE into its own column; building each
+    shingle indexes that array (O(1) per word). Splitting inside the
+    per-shingle lambda would be O(words · |text|) per document — at 100 TB
+    that re-split dominates the whole dedup pass. The separate select also
+    keeps CollapseProject from inlining the non-cheap split into every
+    consumer."""
+    df = df.select("doc_id", "text", F.split("text", " ").alias("wds"))
+    sh = F.when(
+        F.size("wds") >= 3,
+        F.expr("transform(sequence(1, size(wds) - 2), "
+               "i -> concat_ws(' ', wds[i-1], wds[i], wds[i+1]))")
+    ).otherwise(F.array(F.col("text")))
+    return df.select("doc_id", sh.alias("sh"))
 
 
 _SHINGLES_SQL = """
@@ -70,8 +77,7 @@ def dedup_minhash_signature(spark, sf_dir):
 
     shingle → minhash entirely with array expressions (JVM-side); no
     explode, so a document never leaves its row until the band join."""
-    df = (_t(spark, sf_dir, "documents")
-          .select("doc_id", _shingles_spark().alias("sh")))
+    df = _with_shingles(_t(spark, sf_dir, "documents"))
     cols = [
         F.array_min(F.expr(
             f"transform(sh, s -> md5(cast(concat('{p}|', s) as binary)))"
