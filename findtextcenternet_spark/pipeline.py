@@ -247,14 +247,34 @@ def extract_html_path(pages: DataFrame) -> DataFrame:
     )
 
 
-def extract_raster_path(pages: DataFrame) -> DataFrame:
-    """The raster leg: detect → group/window → decode → assemble."""
+def _parallelism(df: DataFrame, num_partitions: int | None) -> int:
+    if num_partitions is not None:
+        return num_partitions
+    return df.sparkSession.sparkContext.defaultParallelism * 2
+
+
+def extract_raster_path(pages: DataFrame,
+                        num_partitions: int | None = None) -> DataFrame:
+    """The raster leg: detect → group/window → decode → assemble.
+
+    Each grouped stage is fed by an EXPLICIT ``repartition(n, url)``: the
+    groupBy reuses that exchange (hash partitioning on the grouping key
+    already satisfies the required clustering, so no second shuffle), and a
+    user-specified partition count is exempt from AQE partition coalescing.
+    That matters because these stages are Python-CPU-bound, not
+    shuffle-byte-bound — AQE's 64 MB advisory target would coalesce them to
+    a handful of partitions and serialize the NumPy kernels (measured 2.3×
+    slowdown at local[32]).
+    """
+    n = _parallelism(pages, num_partitions)
     raster = pages.filter(is_raster_col()).select("url", "html")
     detected = raster.mapInPandas(_detect_batches, DETECT_SCHEMA)
-    windows = detected.groupBy("url").applyInPandas(_group_and_window,
-                                                    WINDOW_SCHEMA)
+    windows = (detected.repartition(n, F.col("url"))
+               .groupBy("url").applyInPandas(_group_and_window,
+                                             WINDOW_SCHEMA))
     decoded = windows.mapInPandas(_decode_batches, DECODED_SCHEMA)
-    return decoded.groupBy("url").applyInPandas(_assemble_group, DOC_SCHEMA)
+    return (decoded.repartition(n, F.col("url"))
+            .groupBy("url").applyInPandas(_assemble_group, DOC_SCHEMA))
 
 
 def spread_pages(pages: DataFrame, num_partitions: int | None = None,
@@ -284,7 +304,8 @@ def extract_documents(pages: DataFrame,
                       num_partitions: int | None = None) -> DataFrame:
     """Full extraction: both legs, one output table."""
     pages = spread_pages(pages, num_partitions)
-    return extract_html_path(pages).unionByName(extract_raster_path(pages))
+    return extract_html_path(pages).unionByName(
+        extract_raster_path(pages, num_partitions))
 
 
 def pages_from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:

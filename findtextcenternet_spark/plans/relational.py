@@ -274,18 +274,47 @@ def a15_welford_stats(spark, sf_dir):
 # Windows / ordering / top-k (W3, W4, W6, T2, T4)
 # =======================================================================
 
+def scalable_global_rank(df: DataFrame, *order_cols) -> DataFrame:
+    """Global row-number WITHOUT the single-partition window.
+
+    ``rank() OVER (ORDER BY ...)`` moves the whole table to one partition —
+    a non-starter at 100 TB. Instead: range-repartition on the sort keys
+    (same machinery as a distributed sort), row_number within each range
+    partition, then add per-partition offsets (tiny driver-side cumulative
+    sum, broadcast back). Requires a tie-free total order.
+    Adds column ``read_order``.
+    """
+    ranged = df.repartitionByRange(*order_cols)
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["n"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = F.broadcast(spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (ranged.join(off_df, "_pid")
+            .withColumn("read_order",
+                        (F.row_number().over(w) + F.col("_off")).cast("long"))
+            .drop("_pid", "_off"))
+
+
 @register("w3_reading_order", """
 SELECT p_partkey, p_size,
-       rank() OVER (ORDER BY p_size DESC, p_partkey) AS read_order
+       CAST(rank() OVER (ORDER BY p_size DESC, p_partkey) AS BIGINT)
+         AS read_order
 FROM part
 """)
 def w3_reading_order(spark, sf_dir):
     """W3 block reading order as a global multi-key rank
-    (make_block.cpp:1633-1694)."""
-    w = Window.orderBy(F.desc("p_size"), "p_partkey")
-    return (_t(spark, sf_dir, "part")
-            .select("p_partkey", "p_size",
-                    F.rank().over(w).alias("read_order")))
+    (make_block.cpp:1633-1694), computed with the scalable two-phase
+    range-partition + offset scheme instead of a single-partition window.
+    The (p_size, p_partkey) order is tie-free so rank == row_number."""
+    df = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    return scalable_global_rank(df, F.desc("p_size"), F.col("p_partkey"))
 
 
 @register("w4_peak_ranking", """
@@ -461,12 +490,16 @@ def u1_union_dedup(spark, sf_dir):
 
 @register("u2_anti_join", """
 SELECT c_custkey, c_nationkey FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
 """)
 def u2_anti_join(spark, sf_dir):
-    """U2 unbound set difference (fix_unbined, search_loop.cpp:915-930)."""
+    """U2 unbound set difference (fix_unbined, search_loop.cpp:915-930):
+    customers with no six-figure order (non-empty on the test data, so the
+    oracle check exercises actual rows, not just an empty frame)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") > 100000))
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select("c_custkey", "c_nationkey"))
 
@@ -623,3 +656,335 @@ def sessionize(spark, sf_dir):
         w.rowsBetween(Window.unboundedPreceding, 0)))
     return (t.groupBy("user_id", "sess_id")
             .agg(F.count("*").alias("n_events")))
+
+
+# =======================================================================
+# Second coverage wave: P6, P7, A2, A10, A11, A12, T1, J2, F3, F5, F6,
+# F8, F9, F11 (SURVEY.md §2)
+# =======================================================================
+
+@register("p6_contrast_filter", """
+WITH th AS (
+  SELECT l_returnflag AS flag,
+         CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) / 5.0 AS th
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_orderkey, l.l_linenumber, round(l.l_extendedprice, 4) AS score
+FROM lineitem l JOIN th ON l.l_returnflag = th.flag
+WHERE l.l_extendedprice >= th.th
+""")
+def p6_contrast_filter(spark, sf_dir):
+    """P6 contrast filter (process_ocr_base.py:543-575): two-pass
+    median-threshold — aggregate median/5 per group, broadcast it back,
+    keep rows above. The broadcast join is the scale idiom: the threshold
+    side is tiny by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    th = (li.groupBy(F.col("l_returnflag").alias("flag"))
+          .agg((F.expr("percentile(l_extendedprice, 0.5)") / 5.0).alias("th")))
+    return (li.join(F.broadcast(th), li.l_returnflag == th.flag)
+            .filter(F.col("l_extendedprice") >= F.col("th"))
+            .select("l_orderkey", "l_linenumber",
+                    F.round("l_extendedprice", 4).alias("score")))
+
+
+@register("p7_separator_antijoin", """
+WITH sep AS (
+  SELECT DISTINCT CAST(floor(value / 10) AS BIGINT) AS cell
+  FROM events WHERE event_type = 'click')
+SELECT e.event_id, e.user_id
+FROM events e
+WHERE e.event_type = 'view'
+  AND CAST(floor(e.value / 10) AS BIGINT) NOT IN (SELECT cell FROM sep)
+""")
+def p7_separator_antijoin(spark, sf_dir):
+    """P7 separator-mask filter (process_ocr_base.py:611-620): drop boxes
+    whose center cell is occupied by a separator — a left-anti join of box
+    cells against the (small, broadcastable) separator-cell set."""
+    e = _t(spark, sf_dir, "events")
+    cell = F.floor(F.col("value") / 10).cast("long")
+    sep = (e.filter(F.col("event_type") == "click")
+           .select(cell.alias("cell")).distinct())
+    boxes = (e.filter(F.col("event_type") == "view")
+             .withColumn("cell", cell))
+    return (boxes.join(F.broadcast(sep), "cell", "left_anti")
+            .select("event_id", "user_id"))
+
+
+@register("a2_neighborhood_max", """
+SELECT a.event_id, a.user_id,
+       round(max(b.value), 4) AS nbr_max
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND abs(CAST(floor(a.value) AS BIGINT) - CAST(floor(b.value) AS BIGINT)) <= 1
+GROUP BY a.event_id, a.user_id
+""")
+def a2_neighborhood_max(spark, sf_dir):
+    """A2 3×3 neighborhood code max (process_ocr_base.py:631-648),
+    relational demo: self-join on |cell difference| ≤ 1 within a partition
+    key, max over the neighborhood."""
+    e = _t(spark, sf_dir, "events")
+    a = e.select("event_id", "user_id", F.floor("value").cast("long").alias("cell"))
+    b = e.select(F.col("user_id").alias("b_user"),
+                 F.floor("value").cast("long").alias("b_cell"),
+                 F.col("value").alias("b_value"))
+    return (a.join(b, (a.user_id == b.b_user)
+                   & (F.abs(a.cell - b.b_cell) <= 1))
+            .groupBy("event_id", "user_id")
+            .agg(F.round(F.max("b_value"), 4).alias("nbr_max")))
+
+
+@register("a10_rollup_bbox", """
+SELECT o_custkey, o_orderkey,
+       round(min(l_quantity), 4) AS x1, round(max(l_quantity), 4) AS x2,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ROLLUP (o_custkey, o_orderkey)
+""")
+def a10_rollup_bbox(spark, sf_dir):
+    """A10 line→block bbox accumulation (process_ocr_base.py:348-448): the
+    two-level (line, block) running extents as a ROLLUP — per-order bbox,
+    per-customer bbox, and the grand total in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .rollup("o_custkey", "o_orderkey")
+            .agg(F.round(F.min("l_quantity"), 4).alias("x1"),
+                 F.round(F.max("l_quantity"), 4).alias("x2"),
+                 F.count("*").alias("n")))
+
+
+@register("a11_connected_components", """
+WITH runs AS (
+  SELECT s_suppkey, s_nationkey,
+         CASE WHEN lag(s_nationkey) OVER (ORDER BY s_suppkey) = s_nationkey
+              THEN 0 ELSE 1 END AS brk
+  FROM supplier),
+lbl AS (
+  SELECT s_suppkey, s_nationkey,
+         sum(brk) OVER (ORDER BY s_suppkey ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs)
+SELECT CAST(min(s_suppkey) AS BIGINT) AS component, count(*) AS n_nodes,
+       CAST(s_nationkey AS BIGINT) AS nation
+FROM lbl GROUP BY run_id, s_nationkey
+""")
+def a11_connected_components(spark, sf_dir):
+    """A11 connected components (prepare.cpp:6-66) as iterative min-label
+    propagation over an edge list — the distributed CC idiom (join labels
+    across edges, take min, repeat to fixpoint; O(log n) rounds on chains
+    thanks to label doubling via both edge directions).
+
+    Graph: supplier nodes, an edge between consecutive suppkeys of the same
+    nation — so components are maximal consecutive same-nation runs, which
+    the oracle computes in closed form (window run detection). The Spark
+    side runs the actual iterative algorithm; the oracle is independent.
+    """
+    s = (_t(spark, sf_dir, "supplier")
+         .select(F.col("s_suppkey").alias("node"),
+                 F.col("s_nationkey").alias("nation")))
+    nxt = s.select((F.col("node") + 1).alias("node"),
+                   F.col("nation").alias("nation2"),
+                   F.col("node").alias("src"))
+    edges = (s.join(nxt, ["node"])
+             .filter(F.col("nation") == F.col("nation2"))
+             .select(F.col("src").alias("a"), F.col("node").alias("b")))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    labels = s.select("node", "nation", F.col("node").alias("label"))
+    for _ in range(32):  # ≥ log2(max run length) rounds; fixpoint-checked
+        prop = (labels.join(edges, labels.node == edges.a)
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.min("label").alias("nbr_label")))
+        new = (labels.join(prop, "node", "left")
+               .select("node", "nation",
+                       F.least("label", F.coalesce("nbr_label", "label"))
+                       .alias("label")))
+        new = new.cache()
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return (labels.groupBy("label", "nation")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.col("label").cast("long").alias("component"),
+                    "n_nodes", F.col("nation").cast("long").alias("nation")))
+
+
+@register("a12_cluster_prune", """
+WITH comp AS (
+  SELECT user_id, round(sum(value), 4) AS weight
+  FROM events GROUP BY user_id HAVING sum(value) >= 4000)
+SELECT e.event_id, e.user_id
+FROM events e JOIN comp USING (user_id)
+""")
+def a12_cluster_prune(spark, sf_dir):
+    """A12 cluster weight prune (prepare.cpp:114-133): sum component
+    weight, erase light components, semi-join survivors back."""
+    e = _t(spark, sf_dir, "events")
+    keep = (e.groupBy("user_id").agg(F.sum("value").alias("wt"))
+            .filter(F.col("wt") >= 4000).select("user_id"))
+    return (e.join(keep, "user_id", "left_semi")
+            .select("event_id", "user_id"))
+
+
+@register("t1_threshold_scan", """
+WITH t AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey,
+                                     l_linenumber) AS rnk
+  FROM lineitem)
+SELECT l_returnflag, l_orderkey, l_linenumber, rnk
+FROM t WHERE l_extendedprice >= 90000.0
+""")
+def t1_threshold_scan(spark, sf_dir):
+    """T1 desc-sorted peak scan with cutoff (process_ocr_base.py:519-523):
+    rank within partition in descending score order, keep above threshold —
+    the vectorized form needs no early exit."""
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+    return (_t(spark, sf_dir, "lineitem")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("l_extendedprice") >= 90000.0)
+            .select("l_returnflag", "l_orderkey", "l_linenumber", "rnk"))
+
+
+@register("j2_interval_overlap", """
+WITH iv AS (
+  SELECT o_custkey, o_orderkey, epoch(o_orderdate) AS lo,
+         epoch(o_orderdate) + 604800 AS hi
+  FROM orders)
+SELECT a.o_custkey, a.o_orderkey AS chain_a, b.o_orderkey AS chain_b
+FROM iv a JOIN iv b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.lo <= b.hi AND b.lo <= a.hi
+""")
+def j2_interval_overlap(spark, sf_dir):
+    """J2 chain–chain merge candidates (search_loop.cpp:576-891), relational
+    skeleton: equi-key self-join + interval-overlap predicate (the fixpoint
+    merge itself is page-local NumPy in the pipeline). The equi-key keeps
+    the join from going quadratic; at scale the interval predicate rides on
+    the custkey shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    lo = F.unix_timestamp("o_orderdate")
+    iv = o.select("o_custkey", "o_orderkey", lo.alias("lo"),
+                  (lo + 604800).alias("hi"))
+    a, b = iv.alias("a"), iv.alias("b")
+    return (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                   & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+                   & (F.col("a.lo") <= F.col("b.hi"))
+                   & (F.col("b.lo") <= F.col("a.hi")))
+            .select(F.col("a.o_custkey").alias("o_custkey"),
+                    F.col("a.o_orderkey").alias("chain_a"),
+                    F.col("b.o_orderkey").alias("chain_b")))
+
+
+@register("f3_codepoint_guard", """
+WITH cp AS (SELECT DISTINCT l_orderkey % 300000 AS cp FROM lineitem)
+SELECT cp,
+       CASE WHEN cp BETWEEN 55296 AND 57343 THEN 65533
+            WHEN cp > 262143 THEN 65533
+            ELSE cp END AS cp_safe
+FROM cp
+""")
+def f3_codepoint_guard(spark, sf_dir):
+    """F3 codepoint guard (process_ocr_base.py:236-247): surrogates
+    U+D800–DFFF and codes > 0x3FFFF map to U+FFFD."""
+    cp = (_t(spark, sf_dir, "lineitem")
+          .select((F.col("l_orderkey") % 300000).alias("cp")).distinct())
+    return cp.select(
+        "cp",
+        F.when((F.col("cp") >= 0xD800) & (F.col("cp") <= 0xDFFF), 0xFFFD)
+        .when(F.col("cp") > 0x3FFFF, 0xFFFD)
+        .otherwise(F.col("cp")).alias("cp_safe"))
+
+
+@register("f5_ruby_html_encode", """
+SELECT doc_id,
+       regexp_replace(
+         chr(65513) || split_part(text, ' ', 1) || chr(65514) || 'yomi' || chr(65515),
+         chr(65513) || '(.*?)' || chr(65514) || '(.*?)' || chr(65515),
+         '<ruby>\\1<rt>\\2</rt></ruby>', 'g') AS html_ruby
+FROM documents
+""")
+def f5_ruby_html_encode(spark, sf_dir):
+    """F5 ruby → HTML encode (util_func.py:137-139)."""
+    marked = F.concat(F.lit("￹"),
+                      F.split(F.col("text"), " ").getItem(0),
+                      F.lit("￺yomi￻"))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.regexp_replace(
+                        marked, "￹(.*?)￺(.*?)￻",
+                        "<ruby>$1<rt>$2</rt></ruby>").alias("html_ruby")))
+
+
+@register("f6_whitespace_classify", """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_ascii_space,
+       CAST(len(regexp_extract_all(text, '[\\t\\n\\x{00a0}\\x{3000}]')) AS BIGINT) AS n_other_space
+FROM documents
+""")
+def f6_whitespace_classify(spark, sf_dir):
+    """F6 whitespace classification (process_ocr_base.py:11-37): counts per
+    whitespace class, pure string arithmetic + regexp_count."""
+    t = F.col("text")
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    (F.length(t) - F.length(F.replace(t, F.lit(" "))))
+                    .cast("long").alias("n_ascii_space"),
+                    F.regexp_count(t, F.lit("[\\t\\n\\u00a0\\u3000]"))
+                    .cast("long").alias("n_other_space")))
+
+
+@register("f8_script_class", """
+SELECT doc_id,
+       regexp_matches(text, '[A-Za-z]') AS has_ascii,
+       regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+       regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') AS has_hangul
+FROM documents
+""")
+def f8_script_class(spark, sf_dir):
+    """F8 script class tests (data_transformer.py:53-57): ASCII / CJK /
+    Hangul presence via rlike."""
+    t = F.col("text")
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    t.rlike("[A-Za-z]").alias("has_ascii"),
+                    t.rlike("[\\u4e00-\\u9fff]").alias("has_cjk"),
+                    t.rlike("[\\uac00-\\ud7af]").alias("has_hangul")))
+
+
+@register("f9_utf32_codepoints", """
+SELECT doc_id,
+       array_to_string([ascii(c) for c in
+                        string_split_regex(substr(text, 1, 8), '')], ',')
+         AS cp_head
+FROM documents
+""")
+def f9_utf32_codepoints(spark, sf_dir):
+    """F9 UTF-32 encode (data_transformer.py:672-683): text → codepoint
+    array (first 8 chars), serialized for engine-identical comparison."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.concat_ws(",", F.expr(
+                        "transform(split(substring(text, 1, 8), ''), "
+                        "c -> cast(ascii(c) as string))")).alias("cp_head")))
+
+
+@register("f11_histogram", """
+SELECT CASE WHEN l_extendedprice < 900.0 THEN 0
+            WHEN l_extendedprice >= 105000.0 THEN 17
+            ELSE 1 + CAST(floor((l_extendedprice - 900.0)
+                                / ((105000.0 - 900.0) / 16)) AS BIGINT) END
+         AS bucket,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+""")
+def f11_histogram(spark, sf_dir):
+    """F11 histogram (util_func.py:23-80): fixed-width binning + count —
+    the relational form of the 256-bin color histogram."""
+    return (_t(spark, sf_dir, "lineitem")
+            .select(F.width_bucket("l_extendedprice", F.lit(900.0),
+                                   F.lit(105000.0), F.lit(16)).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n")))

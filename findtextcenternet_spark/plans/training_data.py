@@ -230,9 +230,9 @@ def ann_cosine_topk(spark, sf_dir):
                        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
     s = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
          .select("vec_id", "label", (dot / (n1 * n2)).alias("sim")))
-    w = Window.orderBy(F.desc("sim"), "vec_id")
-    return (s.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 10)
+    # orderBy + limit plans as TakeOrderedAndProject (per-partition top-k,
+    # merge on driver) — no single-partition global window at scale
+    return (s.orderBy(F.desc("sim"), "vec_id").limit(10)
             .select("vec_id", "label", F.round("sim", 4).alias("cos_sim")))
 
 
@@ -412,3 +412,130 @@ def doc_fingerprint(spark, sf_dir):
             .select("doc_id",
                     F.md5(F.encode("text", "utf-8")).alias("fp"),
                     F.length("text").cast("long").alias("n_bytes")))
+
+
+@register("dedup_embedding_cosine", """
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_dot_product(embedding, embedding)) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding, b.embedding)
+             / (a.nrm * b.nrm), 4) AS cos_sim
+FROM n a JOIN n b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.25
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: candidate pairs blocked by label (the
+    scale path blocks by LSH bucket / IVF cell instead, same shape), exact
+    cosine on the pairs, keep above threshold (0.25 here — the synthetic embeddings
+    are near-orthogonal; a production near-dup pass uses ~0.95). The norm
+    is precomputed per row so the
+    join computes one dot product per pair."""
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(F.expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
+                        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    n = e.select("vec_id", "label", "embedding", nrm.alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    dot = F.expr("aggregate(zip_with(a.embedding, b.embedding, "
+                 "(x, y) -> CAST(x AS DOUBLE) * y), "
+                 "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .withColumn("_sim", sim)
+            .filter(F.col("_sim") >= 0.25)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round("_sim", 4).alias("cos_sim")))
+
+
+@register("ann_ivf_probe", """
+WITH cent AS (
+  SELECT label, [avg(e) for e in columns(*)] AS c FROM (
+    SELECT label, unnest(embedding) AS e,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings) GROUP BY label
+),
+cent2 AS (
+  SELECT label AS cell, list(av ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(e) AS av FROM (
+      SELECT label, unnest(embedding) AS e,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings) GROUP BY label, pos) GROUP BY label
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qcell AS (
+  SELECT cell FROM cent2, q
+  ORDER BY list_dot_product(centroid, qv) /
+           (sqrt(list_dot_product(centroid, centroid)) *
+            sqrt(list_dot_product(qv, qv))) DESC, cell
+  LIMIT 1),
+cand AS (
+  SELECT e.vec_id, e.label,
+         list_dot_product(e.embedding, q.qv) /
+         (sqrt(list_dot_product(e.embedding, e.embedding)) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = (SELECT cell FROM qcell) AND e.vec_id <> 0)
+SELECT vec_id, label, round(sim, 4) AS cos_sim
+FROM cand ORDER BY sim DESC, vec_id LIMIT 5
+""")
+def ann_ivf_probe(spark, sf_dir):
+    """IVF-style ANN probe: coarse cells = per-label centroids (the trained
+    quantizer), pick the query's best cell by centroid cosine, exact-search
+    only that cell's inverted list, top-5. At 100 TB the cell assignment is
+    a broadcast argmin over ~sqrt(N) centroids and the probe touches one
+    cell's partition instead of the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    dot_q = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    nrm = "sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+
+    cents = (e.select("label", F.posexplode("embedding").alias("pos", "v"))
+             .groupBy("label", "pos").agg(F.avg("v").alias("av"))
+             .groupBy("label")
+             .agg(F.array_sort(F.collect_list(F.struct("pos", "av")))
+                  .alias("pa"))
+             .select(F.col("label").alias("cell"),
+                     F.expr("transform(pa, x -> x.av)").alias("centroid")))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    csim = (F.expr(dot_q.format(a="centroid", b="qv"))
+            / (F.expr(nrm.format(a="centroid")) * F.expr(nrm.format(a="qv"))))
+    qcell = (cents.crossJoin(F.broadcast(q))
+             .orderBy(F.desc(csim), "cell").limit(1)
+             .select("cell"))
+    cand = (e.filter(F.col("vec_id") != 0)
+            .join(F.broadcast(qcell), e.label == F.col("cell"), "left_semi")
+            .crossJoin(F.broadcast(q)))
+    sim = (F.expr(dot_q.format(a="embedding", b="qv"))
+           / (F.expr(nrm.format(a="embedding")) * F.expr(nrm.format(a="qv"))))
+    return (cand.withColumn("_sim", sim)
+            .orderBy(F.desc("_sim"), "vec_id").limit(5)
+            .select("vec_id", "label", F.round("_sim", 4).alias("cos_sim")))
+
+
+@register("doc_rolling_hash", """
+WITH cp AS (
+  SELECT doc_id,
+         [ascii(c) for c in string_split_regex(substr(text, 1, 32), '')] AS cps
+  FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), cps),
+                   (acc, c) -> (CAST(acc AS BIGINT) * 131 + c) % 1000000007)
+         AS rhash
+FROM cp
+""")
+def doc_rolling_hash(spark, sf_dir):
+    """Document fingerprinting via polynomial rolling hash over the first 32
+    codepoints: h = Σ c_i·131^i mod 1e9+7, computed as a fold — identical
+    integer math in both engines."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.expr(
+                        "aggregate(transform(split(substring(text, 1, 32), ''), "
+                        "c -> cast(ascii(c) as bigint)), "
+                        "cast(0 as bigint), "
+                        "(acc, c) -> (acc * 131 + c) % 1000000007)")
+                    .alias("rhash")))
