@@ -1,0 +1,5 @@
+from .jobs import (  # noqa: F401
+    stream_extract_html,
+    stream_quality_windows,
+    stream_welford_by_lang,
+)

@@ -1,0 +1,143 @@
+"""Structured Streaming increment (SURVEY.md §2.9).
+
+The reference has no streaming operators; these are the Spark-native
+analogues of its nearest patterns:
+
+* unbounded ingest loop (make_traindata/make_traindata3.py:82-115, generate
+  until covered)            → ``readStream`` file source + checkpointed sink;
+* running Welford stats (loss_func.py:47-67 CoVWeightingLoss)
+                            → ``applyInPandasWithState`` keyed state;
+* byte-range resume of the shard downloader (downloader_src/main.cpp:50-71)
+                            → checkpoint directory: a restarted query resumes
+                              from the last committed micro-batch offset.
+
+Only the HTML extraction leg streams — it is a stateless vectorized
+projection, legal in a streaming plan. The raster leg needs two grouped
+shuffles (group/assemble), which batch handles; at corpus scale the split is
+"stream the cheap 95%, micro-batch the heavy 5% via foreachBatch", and
+``stream_extract_html(..., include_raster=True)`` demonstrates exactly that
+foreachBatch pattern.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a directory of pages parquet (the Iceberg
+    analogue of incremental snapshot reads)."""
+    return (spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(input_dir))
+
+
+def stream_extract_html(spark: SparkSession, input_dir: str,
+                        out_dir: str, checkpoint_dir: str,
+                        include_raster: bool = False):
+    """Streaming main-content extraction.
+
+    Stateless leg streams natively; with ``include_raster`` every
+    micro-batch runs the FULL batch pipeline via foreachBatch (grouped-map
+    stages are batch-only, so the stream hands each micro-batch to the
+    batch planner — the standard escape hatch for heavy multi-shuffle work
+    inside a stream). Restart-with-same-checkpoint resumes after the last
+    committed batch: exactly-once file output via the sink's commit log.
+    """
+    from ..pipeline import extract_documents, extract_html_path
+
+    pages = read_pages_stream(spark, input_dir)
+    if include_raster:
+        def _process(batch_df: DataFrame, batch_id: int) -> None:
+            (extract_documents(batch_df)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_dir))
+
+        return (pages.writeStream.foreachBatch(_process)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True).start())
+    out = extract_html_path(pages)
+    return (out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def stream_quality_windows(spark: SparkSession, input_dir: str,
+                           watermark: str = "10 minutes",
+                           window: str = "1 hour"):
+    """Watermarked tumbling-window corpus quality metrics: docs/sec-style
+    counters per (window, lang) with late-data tolerance. Returns the
+    aggregated streaming DataFrame (caller attaches a sink)."""
+    pages = read_pages_stream(spark, input_dir)
+    return (pages.withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.avg(F.length("text")).alias("avg_chars"),
+                 F.sum(F.length("html")).alias("bytes_in")))
+
+
+_WELFORD_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("m2", T.DoubleType()),
+])
+_WELFORD_OUT = T.StructType([
+    T.StructField("lang", T.StringType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("mean_chars", T.DoubleType()),
+    T.StructField("var_chars", T.DoubleType()),
+])
+
+
+def _welford_update(key, pdf_iter: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    """Chan/Welford parallel-merge update — the same running-stats math as
+    the reference's CoVWeightingLoss (loss_func.py:47-67), keyed by lang."""
+    (lang,) = key
+    if state.exists:
+        n, mean, m2 = state.get
+    else:
+        n, mean, m2 = 0, 0.0, 0.0
+    for pdf in pdf_iter:
+        x = pdf["n_chars"].astype("float64")
+        bn = int(len(x))
+        if bn == 0:
+            continue
+        bmean = float(x.mean())
+        bm2 = float(((x - bmean) ** 2).sum())
+        delta = bmean - mean
+        tot = n + bn
+        mean += delta * bn / tot
+        m2 += bm2 + delta * delta * n * bn / tot
+        n = tot
+    state.update((n, mean, m2))
+    var = m2 / (n - 1) if n > 1 else 0.0
+    yield pd.DataFrame([{"lang": lang, "n": n, "mean_chars": mean,
+                         "var_chars": var}])
+
+
+def stream_welford_by_lang(spark: SparkSession, input_dir: str):
+    """Stateful streaming aggregate: running mean/variance of document
+    length per language via applyInPandasWithState (update mode)."""
+    pages = read_pages_stream(spark, input_dir)
+    chars = pages.select("lang", F.length("text").alias("n_chars"))
+    return (chars.groupBy("lang")
+            .applyInPandasWithState(_welford_update, _WELFORD_OUT,
+                                    _WELFORD_STATE, "update",
+                                    GroupStateTimeout.NoTimeout))

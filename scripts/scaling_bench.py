@@ -55,8 +55,10 @@ def main() -> int:
                os.path.join(REPO, "scripts", "scaling_job.py"),
                str(cores), pages_path, out_json]
         print("+", " ".join(cmd), flush=True)
-        subprocess.run(cmd, check=True, cwd=REPO,
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        log = os.path.join(cache, f"scaling_{cores}.log")
+        with open(log, "w") as lf:
+            subprocess.run(cmd, check=True, cwd=REPO,
+                           stdout=lf, stderr=subprocess.STDOUT)
         with open(out_json) as f:
             results[cores] = json.load(f)
         print(json.dumps(results[cores]), flush=True)
