@@ -6,6 +6,10 @@ from __future__ import annotations
 
 def full_registry():
     """Import every plan module and return the merged registry."""
-    from . import relational, training_data  # noqa: F401 (register on import)
+    from . import (  # noqa: F401 (register on import)
+        multimodal_plans,
+        relational,
+        training_data,
+    )
 
     return relational.registry()
