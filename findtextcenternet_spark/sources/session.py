@@ -31,6 +31,10 @@ def get_spark(app: str = "findtextcenternet-spark",
         # Arrow exchange for pandas UDF stages
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # corpus rows carry multi-KB binary html: the default 4096-row
+        # columnar batch × many concurrent readers exhausts the heap at
+        # high local parallelism; 512 keeps per-reader buffers ~MB-scale
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

