@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -359,7 +360,9 @@ def make_page(doc_id: int, seed: int = CORPUS_SEED) -> dict:
     url = f"https://site{domain:02d}.example.org/doc/{doc_id}"
     ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(doc_id) * 37 % 31_536_000)
     lang = LANGS[int(rng.integers(0, len(LANGS)))]
-    is_raster = rng.random() < 0.2
+    roll = rng.random()
+    is_raster = roll < 0.2
+    is_pdf = 0.2 <= roll < 0.3
 
     if is_raster:
         vertical = lang == "ja" and rng.random() < 0.4
@@ -369,14 +372,24 @@ def make_page(doc_id: int, seed: int = CORPUS_SEED) -> dict:
         html = RASTER_MARKER + json.dumps(layout, ensure_ascii=False,
                                           separators=(",", ":")).encode("utf-8")
         text = raster_golden_text(paras, vertical)
+        kind = "raster:"
+    elif is_pdf:
+        from .operators.pdf import render_pdf
+
+        n_paras = int(rng.integers(1, 5))
+        paras = make_text(rng, lang, n_paras, with_ruby=(lang == "ja"))
+        html = render_pdf(paras, rng)
+        text = flat_text(paras)
+        kind = "pdf:"
     else:
         n_paras = int(rng.integers(1, 5))
         paras = make_text(rng, lang, n_paras, with_ruby=(lang == "ja"))
         html = render_html(rng, paras, lang, url)
         text = html_golden_text(paras)
+        kind = ""
 
     return {"url": url, "warc_ts": ts, "html": html, "text": text,
-            "lang": "raster:" + lang if is_raster else lang}
+            "lang": kind + lang}
 
 
 def generate_pages(n_docs: int, seed: int = CORPUS_SEED) -> pd.DataFrame:
@@ -387,20 +400,27 @@ def generate_pages(n_docs: int, seed: int = CORPUS_SEED) -> pd.DataFrame:
 
 
 def write_pages_parquet(path: str, n_docs: int, seed: int = CORPUS_SEED,
-                        chunk: int = 5000) -> None:
-    """Write the pages table as parquet without Spark (driver-side helper)."""
+                        n_files: int | None = None) -> None:
+    """Write the pages table as a DIRECTORY of part files (driver-side
+    helper, no Spark). Many files is the realistic corpus layout — a
+    single-file fixture serializes the scan + first shuffle and corrupts
+    every scaling measurement downstream of it."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if n_files is None:
+        n_files = max(8, min(64, n_docs // 1500))
     schema = pa.schema([
         ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
         ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
     ])
-    with pq.ParquetWriter(path, schema) as w:
-        for lo in range(0, n_docs, chunk):
-            pdf = generate_pages_range(lo, min(lo + chunk, n_docs), seed)
-            w.write_table(pa.Table.from_pandas(pdf, schema=schema,
-                                               preserve_index=False))
+    os.makedirs(path, exist_ok=True)
+    per = (n_docs + n_files - 1) // n_files
+    for i, lo in enumerate(range(0, n_docs, per)):
+        pdf = generate_pages_range(lo, min(lo + per, n_docs), seed)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            os.path.join(path, f"part-{i:05d}.parquet"))
 
 
 def generate_pages_range(lo: int, hi: int, seed: int = CORPUS_SEED) -> pd.DataFrame:

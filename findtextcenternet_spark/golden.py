@@ -17,6 +17,7 @@ from .operators.assemble import assemble_page
 from .operators.decode import expand_window, segment_windows, tokenize_page
 from .operators.detect import detect_page, parse_layout
 from .operators.group import group_page
+from .operators.pdf import PDF_MAGIC, extract_pdf_text
 
 
 def extract_raster_page(html: bytes) -> dict:
@@ -38,6 +39,13 @@ def extract_page_golden(url: str, html: bytes) -> dict:
     if html.startswith(RASTER_MARKER):
         rec = extract_raster_page(html)
         rec["path"] = "raster"
+    elif html.startswith(PDF_MAGIC):
+        text = extract_pdf_text(html)
+        rec = {"text": text,
+               "aozora": decode_ruby(text, "aozora"),
+               "noruby": decode_ruby(text, "noruby"),
+               "spans": [], "lines": [], "blocks": [],
+               "path": "pdf"}
     else:
         text = extract_main_text(html.decode("utf-8", "replace"))
         rec = {"text": text,

@@ -94,7 +94,10 @@ def tokenize_page(ordered: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         vertical = 1 if subtype & SUBTYPE_VERTICAL else 0
 
         g = np.empty(ENCODER_DIM, dtype=np.float32)
-        g[:FEATURE_DIM] = np.asarray(row.feature, dtype=np.float32)
+        f = row.feature
+        g[:FEATURE_DIM] = (np.frombuffer(f, dtype=np.float32)
+                           if isinstance(f, (bytes, bytearray))
+                           else np.asarray(f, dtype=np.float32))
         g[FEATURE_DIM:] = 5.0 * np.array(
             [vertical, rubybase, ruby, space, emphasis, 0], dtype=np.float32)
         tokens.append(g)

@@ -86,34 +86,39 @@ def sigmoid(x: np.ndarray) -> np.ndarray:
 
 # --- surrogate forward pass: stamp one tile from the layout ---------------
 
-def _stamp_tile(layout: dict, ox: int, oy: int) -> np.ndarray:
-    """Render the (N_CH, TILE_CELLS, TILE_CELLS) logit maps for the tile
-    whose top-left heatmap cell is (ox, oy) in page-cell coordinates."""
-    hm = np.zeros((N_CH, TILE_CELLS, TILE_CELLS), dtype=np.float32)
+def _stamp_maps(layout: dict, ox: int, oy: int, h_cells: int,
+                w_cells: int) -> np.ndarray:
+    """Render (N_CH, h_cells, w_cells) logit maps for the window whose
+    top-left heatmap cell is (ox, oy) in page-cell coordinates. Used both
+    per-768px-tile (the real-model geometry) and once per page (the
+    surrogate fast path — identical output, see render_page_heatmaps)."""
+    hm = np.zeros((N_CH, h_cells, w_cells), dtype=np.float32)
     hm[CH_KEY] = _BG_KEY_LOGIT
     hm[CH_C1:CH_C8 + 1] = _OFF_LOGIT
     hm[CH_LINE] = _OFF_LOGIT
     hm[CH_SEP] = _OFF_LOGIT
 
-    yy, xx = np.mgrid[0:TILE_CELLS, 0:TILE_CELLS]
-
     for g in layout["glyphs"]:
         gx = g["cx"] / SCALE - ox
         gy = g["cy"] / SCALE - oy
-        if gx < -8 or gx >= TILE_CELLS + 8 or gy < -8 or gy >= TILE_CELLS + 8:
+        if gx < -8 or gx >= w_cells + 8 or gy < -8 or gy >= h_cells + 8:
             continue
         sx = max(g["w"] / SCALE / 4.0, 1.0)
         sy = max(g["h"] / SCALE / 4.0, 1.0)
-        x0, x1 = max(0, int(gx - 4 * sx)), min(TILE_CELLS, int(gx + 4 * sx) + 1)
-        y0, y1 = max(0, int(gy - 4 * sy)), min(TILE_CELLS, int(gy + 4 * sy) + 1)
+        x0, x1 = max(0, int(gx - 4 * sx)), min(w_cells, int(gx + 4 * sx) + 1)
+        y0, y1 = max(0, int(gy - 4 * sy)), min(h_cells, int(gy + 4 * sy) + 1)
         if x0 >= x1 or y0 >= y1:
             continue
-        d2 = ((xx[y0:y1, x0:x1] - gx) / sx) ** 2 + ((yy[y0:y1, x0:x1] - gy) / sy) ** 2
+        # separable distance: two 1-D vectors + outer add beats a 2-D grid
+        # on memory traffic (the kernels are bandwidth-bound at 32 cores)
+        dx2 = ((np.arange(x0, x1, dtype=np.float64) - gx) / sx) ** 2
+        dy2 = ((np.arange(y0, y1, dtype=np.float64) - gy) / sy) ** 2
+        d2 = dy2[:, None] + dx2[None, :]
         stamp = (_PEAK_LOGIT - _BG_KEY_LOGIT) * np.exp(-d2 / 2.0) + _BG_KEY_LOGIT
         np.maximum(hm[CH_KEY, y0:y1, x0:x1], stamp.astype(np.float32),
                    out=hm[CH_KEY, y0:y1, x0:x1])
         cix, ciy = int(round(gx)), int(round(gy))
-        if 0 <= cix < TILE_CELLS and 0 <= ciy < TILE_CELLS:
+        if 0 <= cix < w_cells and 0 <= ciy < h_cells:
             hm[CH_SZX, ciy, cix] = np.float32(math.log(g["w"] / 1024.0) + 3.0)
             hm[CH_SZY, ciy, cix] = np.float32(math.log(g["h"] / 1024.0) + 3.0)
             hm[CH_C1, ciy, cix] = _ON_LOGIT if g["ruby"] else _OFF_LOGIT
@@ -127,12 +132,12 @@ def _stamp_tile(layout: dict, ox: int, oy: int) -> np.ndarray:
         y0 = int(round(tl["y1"] / SCALE)) - oy
         y1 = int(round(tl["y2"] / SCALE)) - oy
         if tl["vertical"]:
-            lo, hi = max(0, min(y0, y1)), min(TILE_CELLS - 1, max(y0, y1))
-            if 0 <= x0 < TILE_CELLS and lo <= hi:
+            lo, hi = max(0, min(y0, y1)), min(h_cells - 1, max(y0, y1))
+            if 0 <= x0 < w_cells and lo <= hi:
                 hm[CH_LINE, lo:hi + 1, x0] = _ON_LOGIT
         else:
-            lo, hi = max(0, min(x0, x1)), min(TILE_CELLS - 1, max(x0, x1))
-            if 0 <= y0 < TILE_CELLS and lo <= hi:
+            lo, hi = max(0, min(x0, x1)), min(w_cells - 1, max(x0, x1))
+            if 0 <= y0 < h_cells and lo <= hi:
                 hm[CH_LINE, y0, lo:hi + 1] = _ON_LOGIT
 
     for sp in layout.get("seps", []):
@@ -141,15 +146,19 @@ def _stamp_tile(layout: dict, ox: int, oy: int) -> np.ndarray:
         y0 = int(round(sp["y1"] / SCALE)) - oy
         y1 = int(round(sp["y2"] / SCALE)) - oy
         if y0 == y1:
-            lo, hi = max(0, min(x0, x1)), min(TILE_CELLS - 1, max(x0, x1))
-            if 0 <= y0 < TILE_CELLS and lo <= hi:
+            lo, hi = max(0, min(x0, x1)), min(w_cells - 1, max(x0, x1))
+            if 0 <= y0 < h_cells and lo <= hi:
                 hm[CH_SEP, y0, lo:hi + 1] = _ON_LOGIT
         elif x0 == x1:
-            lo, hi = max(0, min(y0, y1)), min(TILE_CELLS - 1, max(y0, y1))
-            if 0 <= x0 < TILE_CELLS and lo <= hi:
+            lo, hi = max(0, min(y0, y1)), min(h_cells - 1, max(y0, y1))
+            if 0 <= x0 < w_cells and lo <= hi:
                 hm[CH_SEP, lo:hi + 1, x0] = _ON_LOGIT
 
     return hm
+
+
+def _stamp_tile(layout: dict, ox: int, oy: int) -> np.ndarray:
+    return _stamp_maps(layout, ox, oy, TILE_CELLS, TILE_CELLS)
 
 
 def tile_origins(n_cells: int) -> list[int]:
@@ -163,12 +172,28 @@ def tile_origins(n_cells: int) -> list[int]:
 
 
 def render_page_heatmaps(layout: dict) -> np.ndarray:
-    """Tile fan-out (P1) + interior mask (P2) + overlap-max merge (A1).
+    """Surrogate forward pass: page logit maps in one stamp.
 
-    Returns the merged (N_CH, H_cells, W_cells) page logit maps. The merge
-    is elementwise max over masked tiles, exactly the reference scheme
-    (process_ocr_base.py:480-516).
+    With the real CNN, tiles are mandatory (fixed 768×768 input) and the
+    page map is the interior-masked overlap-max merge of per-tile outputs
+    (P1+P2+A1, process_ocr_base.py:480-516) — that path is
+    ``render_page_heatmaps_tiled`` below. For the deterministic surrogate
+    the merge is *provably identical* to stamping the page directly: every
+    stamp's support radius (4σ ≤ 8 cells) is within the tile margin used to
+    skip out-of-tile glyphs, so each cell's interior tile sees exactly the
+    glyphs that can touch it. Direct render halves memory traffic (the
+    stages are bandwidth-bound at 32 cores); equivalence is pinned by
+    tests/test_detect.py::test_tiled_merge_equals_direct.
     """
+    wc = int(math.ceil(layout["page_w"] / SCALE))
+    hc = int(math.ceil(layout["page_h"] / SCALE))
+    return _stamp_maps(layout, 0, 0, hc, wc)
+
+
+def render_page_heatmaps_tiled(layout: dict) -> np.ndarray:
+    """Tile fan-out (P1) + interior mask (P2) + overlap-max merge (A1) —
+    the real-model geometry; kept as the reference implementation for the
+    equivalence test."""
     wc = int(math.ceil(layout["page_w"] / SCALE))
     hc = int(math.ceil(layout["page_h"] / SCALE))
     page = np.full((N_CH, hc, wc), -np.inf, dtype=np.float32)
@@ -310,7 +335,9 @@ def detect_page(layout: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
         "code1": codes[0], "code2": codes[1],
         "code4": codes[2], "code8": codes[3],
     })
-    boxes["feature"] = [row.tolist() for row in feats]
+    # packed float32 bytes: 100 floats as one binary cell is ~10x cheaper
+    # through Arrow than list<float> (no per-element boxing)
+    boxes["feature"] = [row.tobytes() for row in feats]
 
     # RLE runs of the thresholded line / sep maps (group-stage input)
     runs_rows = []

@@ -1,6 +1,7 @@
 """End-to-end Spark extraction pipeline (SURVEY.md §3.1 lifecycle).
 
     pages ──┬─ html path:   pandas_udf extract_html            (narrow)
+            ├─ pdf path:    pandas_udf extract_pdf             (narrow)
             └─ raster path: mapInPandas(detect)                (narrow)
                             → applyInPandas(url)(group+window) (shuffle 1)
                             → mapInPandas(decode)              (narrow)
@@ -24,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .config import FEATURE_DIM
 from .corpus import RASTER_MARKER
 from .functions.html_extract import extract_main_text_series
 from .functions.ruby import decode_ruby_col
@@ -49,19 +51,23 @@ DETECT_SCHEMA = T.StructType([
     T.StructField("code2", T.DoubleType()),
     T.StructField("code4", T.DoubleType()),
     T.StructField("code8", T.DoubleType()),
-    T.StructField("feature", T.ArrayType(T.FloatType())),
+    T.StructField("feature", T.BinaryType()),   # 100 packed float32
     T.StructField("channel", T.StringType()),        # runs only
     T.StructField("ry", T.LongType()),
     T.StructField("rx1", T.LongType()),
     T.StructField("rx2", T.LongType()),
 ])
 
+# tokens/meta/tok_of travel as packed little-endian buffers, one binary
+# cell per window: (n,106) float32, (n,9) float64, (m,) int64. Arrow moves
+# them as a single memcpy per cell; list<list<float>> would box every
+# element in Python on both sides of every exchange.
 WINDOW_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("win_id", T.LongType()),
     T.StructField("keep_back", T.LongType()),
-    T.StructField("tokens", T.ArrayType(T.ArrayType(T.FloatType()))),
-    T.StructField("meta", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    T.StructField("tokens", T.BinaryType()),
+    T.StructField("meta", T.BinaryType()),
 ])
 
 DECODED_SCHEMA = T.StructType([
@@ -69,8 +75,8 @@ DECODED_SCHEMA = T.StructType([
     T.StructField("win_id", T.LongType()),
     T.StructField("keep_back", T.LongType()),
     T.StructField("pred", T.StringType()),
-    T.StructField("tok_of", T.ArrayType(T.LongType())),
-    T.StructField("meta", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    T.StructField("tok_of", T.BinaryType()),
+    T.StructField("meta", T.BinaryType()),
 ])
 
 SPAN_TYPE = T.StructType([
@@ -171,22 +177,26 @@ def _group_and_window(key, pdf: pd.DataFrame) -> pd.DataFrame:
     rows = []
     for wi, (start, end, keep_back) in enumerate(segment_windows(tokens)):
         rows.append((url, wi, keep_back,
-                     [r.tolist() for r in tokens[start:end]],
-                     [r.tolist() for r in meta[start:end]]))
+                     np.ascontiguousarray(tokens[start:end],
+                                          dtype=np.float32).tobytes(),
+                     np.ascontiguousarray(meta[start:end],
+                                          dtype=np.float64).tobytes()))
     return pd.DataFrame(rows, columns=["url", "win_id", "keep_back",
                                        "tokens", "meta"])
 
 
 def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: mask-predict decode, batched across pages."""
+    enc_dim = FEATURE_DIM + 6
     for pdf in it:
         preds, toks = [], []
         for tokens, meta in zip(pdf["tokens"], pdf["meta"]):
-            tok = np.array([np.asarray(t, dtype=np.float32) for t in tokens])
-            mt = np.array([np.asarray(m, dtype=np.float64) for m in meta])
+            tok = np.frombuffer(tokens, dtype=np.float32).reshape(-1, enc_dim)
+            mt = np.frombuffer(meta, dtype=np.float64).reshape(-1, 9)
             pred, tok_of = expand_window(tok, mt)
             preds.append(pred)
-            toks.append(tok_of.tolist())
+            toks.append(np.ascontiguousarray(tok_of,
+                                             dtype=np.int64).tobytes())
         yield pd.DataFrame({
             "url": pdf["url"], "win_id": pdf["win_id"],
             "keep_back": pdf["keep_back"], "pred": preds, "tok_of": toks,
@@ -198,9 +208,8 @@ def _assemble_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
     url = key[0]
     pdf = pdf.sort_values("win_id")
     windows = [
-        {"pred": r.pred, "tok_of": np.asarray(r.tok_of, dtype=np.int64),
-         "meta": (np.array([np.asarray(m, dtype=np.float64) for m in r.meta])
-                  if len(r.meta) else np.zeros((0, 9))),
+        {"pred": r.pred, "tok_of": np.frombuffer(r.tok_of, dtype=np.int64),
+         "meta": np.frombuffer(r.meta, dtype=np.float64).reshape(-1, 9),
          "keep_back": int(r.keep_back)}
         for r in pdf.itertuples()
     ]
@@ -220,17 +229,47 @@ def extract_html_udf(html: pd.Series) -> pd.Series:
     return extract_main_text_series(html)
 
 
+@F.pandas_udf(T.StringType())
+def extract_pdf_udf(blob: pd.Series) -> pd.Series:
+    from .operators.pdf import extract_pdf_series
+
+    return extract_pdf_series(blob)
+
+
 def is_raster_col():
     # cheap prefix probe on the binary column — stays JVM-side
     return F.startswith(
         F.col("html").cast("string"), F.lit(_MARKER_PREFIX))
 
 
+def is_pdf_col():
+    return F.startswith(F.col("html"), F.lit(b"%PDF-"))
+
+
+def extract_pdf_path(pages: DataFrame) -> DataFrame:
+    """The PDF leg: text-layer parse, one vectorized UDF, fully narrow
+    (operators/pdf.py; north rule 'PDF/layout parse')."""
+    txt = extract_pdf_udf(F.col("html"))
+    return (
+        pages.filter(is_pdf_col())
+        .select("url", txt.alias("text"))
+        .select(
+            "url", "text",
+            decode_ruby_col(F.col("text"), "aozora").alias("aozora"),
+            decode_ruby_col(F.col("text"), "noruby").alias("noruby"),
+            F.array().cast(T.ArrayType(SPAN_TYPE)).alias("spans"),
+            F.array().cast(T.ArrayType(LINE_TYPE)).alias("lines"),
+            F.array().cast(T.ArrayType(BLOCK_TYPE)).alias("blocks"),
+            F.lit("pdf").alias("path"),
+        )
+    )
+
+
 def extract_html_path(pages: DataFrame) -> DataFrame:
     """The pure-HTML leg: one vectorized UDF, fully narrow."""
     txt = extract_html_udf(F.col("html"))
     return (
-        pages.filter(~is_raster_col())
+        pages.filter(~is_raster_col() & ~is_pdf_col())
         .select(
             "url",
             txt.alias("text"),
@@ -304,8 +343,9 @@ def extract_documents(pages: DataFrame,
                       num_partitions: int | None = None) -> DataFrame:
     """Full extraction: both legs, one output table."""
     pages = spread_pages(pages, num_partitions)
-    return extract_html_path(pages).unionByName(
-        extract_raster_path(pages, num_partitions))
+    return (extract_html_path(pages)
+            .unionByName(extract_pdf_path(pages))
+            .unionByName(extract_raster_path(pages, num_partitions)))
 
 
 def pages_from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:

@@ -90,3 +90,25 @@ def test_multi_tile_page_consistent():
     assert layout["page_w"] > 768  # multi-tile in x
     boxes, _ = detect_page(layout)
     assert len(boxes) == len(layout["glyphs"])
+
+
+def test_tiled_merge_equals_direct():
+    """The production direct page render must match the real-model tile
+    geometry (interior-masked overlap-max merge) cell for cell."""
+    import numpy as np
+
+    from findtextcenternet_spark.corpus import RASTER_MARKER, generate_pages
+    from findtextcenternet_spark.operators.detect import (
+        parse_layout,
+        render_page_heatmaps,
+        render_page_heatmaps_tiled,
+    )
+
+    pdf = generate_pages(150)
+    layouts = [parse_layout(bytes(h)) for h in pdf.html
+               if bytes(h).startswith(RASTER_MARKER)]
+    assert len(layouts) >= 10
+    for layout in layouts:
+        direct = render_page_heatmaps(layout)
+        tiled = render_page_heatmaps_tiled(layout)
+        assert np.array_equal(direct, tiled)

@@ -59,7 +59,8 @@ def test_no_main_div_yields_empty():
 
 def test_series_kernel_matches_scalar_on_corpus():
     pdf = generate_pages(60)
-    html_docs = pdf[~pdf.lang.str.startswith("raster:")]
+    html_docs = pdf[~pdf.lang.str.startswith("raster:")
+                & ~pdf.lang.str.startswith("pdf:")]
     got = extract_main_text_series(html_docs.html)
     want = pd.Series(
         [extract_main_text(b.decode()) for b in html_docs.html],

@@ -81,7 +81,7 @@ def test_q1_partial_agg_and_codegen(spark, reg):
 
 def test_pipeline_shuffle_budget_and_pruning(spark):
     """The extraction DAG budgets exactly: 1 input spread per leg (AQE's
-    stage cache dedupes the two identical canonical exchanges at runtime)
+    stage cache dedupes the identical canonical exchanges at runtime)
     + 2 grouped-stage repartitions — and column pruning pushes through the
     repartition so only (url, html) are shuffled, never the full 5-column
     pages row."""
@@ -93,7 +93,10 @@ def test_pipeline_shuffle_budget_and_pruning(spark):
     pages = pages_from_pandas(spark, generate_pages(32))
     df = extract_documents(pages)
     phys = df._jdf.queryExecution().executedPlan().toString()
-    assert phys.count("Exchange hashpartitioning(url") <= 4
+    # one spread per leg (html/pdf/raster — AQE's stage cache collapses
+    # the three identical canonical exchanges at runtime) + 2 grouped-stage
+    # repartitions
+    assert phys.count("Exchange hashpartitioning(url") <= 5
     for line in phys.splitlines():
         if "LocalTableScan" in line:
             assert "warc_ts" not in line and "lang" not in line, (
