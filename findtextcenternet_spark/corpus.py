@@ -353,16 +353,23 @@ _DOMAIN_WEIGHTS = 1.0 / np.arange(1, 51)
 _DOMAIN_WEIGHTS /= _DOMAIN_WEIGHTS.sum()
 
 
-def make_page(doc_id: int, seed: int = CORPUS_SEED) -> dict:
-    """Generate one page row, a pure function of (seed, doc_id)."""
+def make_page(doc_id: int, seed: int = CORPUS_SEED,
+              raster_frac: float = 0.2, pdf_frac: float = 0.1) -> dict:
+    """Generate one page row, a pure function of (seed, doc_id).
+
+    ``raster_frac``/``pdf_frac`` shift the kind mix (defaults mirror a web
+    corpus: mostly HTML). raster_frac=1.0 gives the compute-representative
+    corpus used for the scaling measurement's upper row — with a real CNN
+    every page costs detect-level compute, which the cheap surrogate only
+    approximates when every page takes the raster path."""
     rng = np.random.default_rng(np.random.PCG64(seed * 1_000_003 + doc_id))
     domain = int(rng.choice(50, p=_DOMAIN_WEIGHTS))
     url = f"https://site{domain:02d}.example.org/doc/{doc_id}"
     ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(doc_id) * 37 % 31_536_000)
     lang = LANGS[int(rng.integers(0, len(LANGS)))]
     roll = rng.random()
-    is_raster = roll < 0.2
-    is_pdf = 0.2 <= roll < 0.3
+    is_raster = roll < raster_frac
+    is_pdf = raster_frac <= roll < raster_frac + pdf_frac
 
     if is_raster:
         vertical = lang == "ja" and rng.random() < 0.4
@@ -392,15 +399,19 @@ def make_page(doc_id: int, seed: int = CORPUS_SEED) -> dict:
             "lang": kind + lang}
 
 
-def generate_pages(n_docs: int, seed: int = CORPUS_SEED) -> pd.DataFrame:
-    rows = [make_page(i, seed) for i in range(n_docs)]
+def generate_pages(n_docs: int, seed: int = CORPUS_SEED,
+                   raster_frac: float = 0.2,
+                   pdf_frac: float = 0.1) -> pd.DataFrame:
+    rows = [make_page(i, seed, raster_frac, pdf_frac) for i in range(n_docs)]
     df = pd.DataFrame(rows)
     df["warc_ts"] = pd.to_datetime(df["warc_ts"])
     return df
 
 
 def write_pages_parquet(path: str, n_docs: int, seed: int = CORPUS_SEED,
-                        n_files: int | None = None) -> None:
+                        n_files: int | None = None,
+                        raster_frac: float = 0.2,
+                        pdf_frac: float = 0.1) -> None:
     """Write the pages table as a DIRECTORY of part files (driver-side
     helper, no Spark). Many files is the realistic corpus layout — a
     single-file fixture serializes the scan + first shuffle and corrupts
@@ -417,13 +428,16 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = CORPUS_SEED,
     os.makedirs(path, exist_ok=True)
     per = (n_docs + n_files - 1) // n_files
     for i, lo in enumerate(range(0, n_docs, per)):
-        pdf = generate_pages_range(lo, min(lo + per, n_docs), seed)
+        pdf = generate_pages_range(lo, min(lo + per, n_docs), seed,
+                                   raster_frac, pdf_frac)
         pq.write_table(
             pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
             os.path.join(path, f"part-{i:05d}.parquet"))
 
 
-def generate_pages_range(lo: int, hi: int, seed: int = CORPUS_SEED) -> pd.DataFrame:
+def generate_pages_range(lo: int, hi: int, seed: int = CORPUS_SEED,
+                         raster_frac: float = 0.2,
+                         pdf_frac: float = 0.1) -> pd.DataFrame:
     rows = [make_page(i, seed) for i in range(lo, hi)]
     df = pd.DataFrame(rows)
     df["warc_ts"] = pd.to_datetime(df["warc_ts"])
