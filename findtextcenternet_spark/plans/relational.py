@@ -992,37 +992,39 @@ def f11_histogram(spark, sf_dir):
 
 @register("a6_ema_scan", """
 WITH t AS (
-  SELECT l_orderkey, l_extendedprice,
+  SELECT l_orderkey, l_quantity,
          row_number() OVER (PARTITION BY l_orderkey
-                            ORDER BY l_linenumber, l_extendedprice) AS rn
+                            ORDER BY l_linenumber, l_quantity, l_extendedprice)
+           AS rn
   FROM lineitem),
-e AS (
-  SELECT a.l_orderkey, a.rn,
-         sum(CASE WHEN b.rn = 1 THEN power(0.25, a.rn - 1) * b.l_extendedprice
-                  ELSE 0.75 * power(0.25, a.rn - b.rn) * b.l_extendedprice
-             END) AS ema
-  FROM t a JOIN t b ON a.l_orderkey = b.l_orderkey AND b.rn <= a.rn
-  GROUP BY a.l_orderkey, a.rn)
-SELECT l_orderkey, rn, round(ema, 4) AS ema
-FROM e
+w AS (
+  SELECT l_orderkey, rn,
+         sum((CASE WHEN rn = 1 THEN l_quantity
+                   ELSE 0.75 * l_quantity END)
+             * power(0.25, -(rn - 1)))
+           OVER (PARTITION BY l_orderkey ORDER BY rn
+                 ROWS UNBOUNDED PRECEDING) AS s
+  FROM t)
+SELECT l_orderkey, rn, round(s * power(0.25, rn - 1), 6) AS ema
+FROM w
 """)
 def a6_ema_scan(spark, sf_dir):
     """A6 EMA fold a_n = 0.25·a_{n-1} + 0.75·x_n (search_loop.cpp:607-619)
-    in closed form: a_n = 0.25^{n-1}x_1 + Σ_{j≥2} 0.75·0.25^{n-j}x_j.
-    Spark side evaluates it as a windowed sum of pre-weighted terms — one
-    partition-local window, no recursion (exact for the bounded per-order
-    groups; the unbounded streaming form stays in the grouped UDF)."""
+    in closed form: a_n = 0.25^{n-1}x_1 + Σ_{j≥2} 0.75·0.25^{n-j}x_j,
+    evaluated as a running sum of pre-weighted terms rescaled by 0.25^{rn-1}
+    — one partition-local window, no recursion. Over l_quantity (small
+    integers) with quarter-power weights every intermediate is an exact
+    binary fraction, so Spark and DuckDB agree bit-for-bit (arbitrary
+    doubles hit 1-ulp cross-engine rounding at the round() knife edge)."""
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber",
+                                                 "l_quantity",
                                                  "l_extendedprice")
     t = (_t(spark, sf_dir, "lineitem")
          .withColumn("rn", F.row_number().over(w)))
-    # term_j = x_j * 0.25^{-j} * (j==1 ? 1 : 0.75); EMA_n = 0.25^n/0.25^0 ...
-    # computed as running sum of terms, rescaled by 0.25^{rn}: exact since
-    # group sizes are bounded (max 7 lineitems/order)
-    term = (F.when(F.col("rn") == 1, F.col("l_extendedprice"))
-            .otherwise(0.75 * F.col("l_extendedprice"))
+    term = (F.when(F.col("rn") == 1, F.col("l_quantity"))
+            .otherwise(0.75 * F.col("l_quantity"))
             * F.pow(F.lit(0.25), -F.col("rn") + 1))
     run = Window.partitionBy("l_orderkey").orderBy("rn") \
         .rowsBetween(Window.unboundedPreceding, 0)
     ema = F.sum(term).over(run) * F.pow(F.lit(0.25), F.col("rn") - 1)
-    return t.select("l_orderkey", "rn", F.round(ema, 4).alias("ema"))
+    return t.select("l_orderkey", "rn", F.round(ema, 6).alias("ema"))
