@@ -53,7 +53,7 @@ def _bench_pages_parquet(n_docs: int) -> str:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 
     from findtextcenternet_spark.plans import full_registry
     from findtextcenternet_spark.pipeline import extract_documents

@@ -120,11 +120,11 @@ DOC_SCHEMA = T.StructType([
 
 
 def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one page per input row → box + run rows.
+    """mapInPandas kernel: one page per input row → box + run rows."""
+    from .operators.model_registry import get_detector_model
 
-    A real-model deployment loads broadcast weights once per Python worker
-    here (module-scope singleton); the surrogate has no weights.
-    """
+    get_detector_model()  # per-worker singleton; loads once, reused by
+    # every task this worker runs (real weights slot in here)
     for pdf in it:
         out = []
         for url, html in zip(pdf["url"], pdf["html"]):

@@ -539,3 +539,83 @@ def doc_rolling_hash(spark, sf_dir):
                         "cast(0 as bigint), "
                         "(acc, c) -> (acc * 131 + c) % 1000000007)")
                     .alias("rhash")))
+
+
+@register("token_count_bpe", """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents
+""")
+def token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting: the GPT-2-style pre-tokenizer regex classes
+    (letter runs | digit runs | single punctuation) next to the whitespace
+    count — pure regexp_count, JVM-side."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.regexp_count(
+                        F.col("text"),
+                        F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+                    .cast("long").alias("n_bpe_tokens"),
+                    F.size(F.split("text", " ")).cast("long")
+                    .alias("n_ws_tokens")))
+
+
+@register("dedup_lsh_verified", """
+WITH sh_t AS (SELECT doc_id, """ + _SHINGLES_SQL + """ AS sh FROM documents),
+sig AS (SELECT doc_id, """ + ", ".join(
+    f"list_min([md5('{p}|' || s) for s in sh]) AS m{p}"
+    for p in range(_N_PERM)) + """ FROM sh_t),
+b AS (""" + "\nUNION ALL\n".join(
+    f"SELECT {b} AS band, m{2*b} || m{2*b+1} AS band_key, doc_id FROM sig"
+    for b in range(_BANDS)) + """),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM b a JOIN b c
+    ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+v AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+  FROM pairs p
+  JOIN (SELECT doc_id, list_distinct(sh) AS sh FROM sh_t) sa
+    ON sa.doc_id = p.doc_a
+  JOIN (SELECT doc_id, list_distinct(sh) AS sh FROM sh_t) sb
+    ON sb.doc_id = p.doc_b)
+SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+FROM v WHERE jac >= 0.5
+""")
+def dedup_lsh_verified(spark, sf_dir):
+    """The production near-dup flow end to end: LSH banding proposes
+    candidate pairs (cheap, one shuffle on band_key), exact shingle-set
+    Jaccard verifies them (expensive, but only on the candidates). At
+    100 TB the verify join touches ~0.01% of the pair space."""
+    sig = dedup_minhash_signature(spark, sf_dir)
+    bands = F.array(*[
+        F.struct(F.lit(bb).alias("band"),
+                 F.concat(F.col(f"m{2*bb}"), F.col(f"m{2*bb+1}"))
+                 .alias("band_key"))
+        for bb in range(_BANDS)
+    ])
+    banded = (sig.select("doc_id", F.explode(bands).alias("bk"))
+              .select("doc_id", F.col("bk.band").alias("band"),
+                      F.col("bk.band_key").alias("band_key")))
+    a, c = banded.alias("a"), banded.alias("c")
+    pairs = (a.join(c, (F.col("a.band") == F.col("c.band"))
+                    & (F.col("a.band_key") == F.col("c.band_key"))
+                    & (F.col("a.doc_id") < F.col("c.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("c.doc_id").alias("doc_b"))
+             .distinct())
+    sh = (_with_shingles(_t(spark, sf_dir, "documents"))
+          .select("doc_id", F.array_distinct("sh").alias("sh")))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("_jac", jac)
+            .filter(F.col("_jac") >= 0.5)
+            .select("doc_a", "doc_b", F.round("_jac", 4).alias("jaccard")))
