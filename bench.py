@@ -83,12 +83,28 @@ def main() -> int:
     extract_sec = time.time() - t0
     timings["extract_pipeline"] = round(extract_sec, 3)
 
+    # single-node reference point: the golden single-process implementation
+    # (same kernels, no Spark) on a 600-doc slice — the "reference
+    # throughput" our distributed pipeline must beat (BASELINE.md: the
+    # reference repo publishes no numbers, so its faithful single-process
+    # re-implementation is the stand-in)
+    import pandas as pd
+
+    from findtextcenternet_spark.corpus import generate_pages
+    from findtextcenternet_spark.golden import extract_corpus_golden
+    gpdf = generate_pages(600)
+    t0 = time.time()
+    extract_corpus_golden(gpdf)
+    golden_dps = round(600 / (time.time() - t0), 2)
+
     total = round(sum(timings.values()), 3)
     rec = {
         "metric": "bench_total_sec", "value": total, "unit": "sec",
         "queries": timings, "sf": sf,
         "docs_per_sec": round(n_docs / extract_sec, 2),
         "extract_docs": n_docs, "extract_sec": round(extract_sec, 3),
+        "golden_single_process_docs_per_sec": golden_dps,
+        "speedup_vs_single_node": round(n_docs / extract_sec / golden_dps, 2),
     }
     # latest two-parallelism scaling measurement, if one has been recorded
     # (scripts/scaling_bench.py; see BENCH.md for the protocol)
