@@ -133,10 +133,13 @@ def group_page(boxes: pd.DataFrame, runs: pd.DataFrame) -> pd.DataFrame:
     comp_y1 = np.full(n_comp, np.inf)
     comp_y2 = np.full(n_comp, -np.inf)
     cell_map: dict[tuple[int, int], int] = {}
+    lr_y = line_runs["y"].to_numpy()
+    lr_x1 = line_runs["x1"].to_numpy()
+    lr_x2 = line_runs["x2"].to_numpy()
     for i in range(len(line_runs)):
         c = int(comp[i])
-        y = int(line_runs["y"].iloc[i])
-        x1, x2 = int(line_runs["x1"].iloc[i]), int(line_runs["x2"].iloc[i])
+        y = int(lr_y[i])
+        x1, x2 = int(lr_x1[i]), int(lr_x2[i])
         comp_y1[c] = min(comp_y1[c], y)
         comp_y2[c] = max(comp_y2[c], y)
         comp_x1[c] = min(comp_x1[c], x1)
@@ -147,6 +150,15 @@ def group_page(boxes: pd.DataFrame, runs: pd.DataFrame) -> pd.DataFrame:
 
     # P8 flag thresholding (main.cpp:132-147 cutoffs)
     b = boxes.reset_index(drop=True)
+    # column arrays once — pandas scalar .iloc in the per-box loops was the
+    # kernel's hot spot (O(boxes) dispatch overhead per page)
+    box_id_a = b["box_id"].to_numpy()
+    p_a = b["p"].to_numpy()
+    cx_a = b["cx"].to_numpy()
+    cy_a = b["cy"].to_numpy()
+    w_a = b["w"].to_numpy()
+    h_a = b["h"].to_numpy()
+    feat_l = b["feature"].tolist()
     is_ruby = (b["code1"].to_numpy() > RUBY_CUTOFF) & (b["code2"].to_numpy() > RUBYBASE_CUTOFF)
     is_rubybase = ~is_ruby & (b["code2"].to_numpy() > RUBYBASE_CUTOFF)
     is_space = b["code8"].to_numpy() > SPACE_CUTOFF
@@ -161,7 +173,7 @@ def group_page(boxes: pd.DataFrame, runs: pd.DataFrame) -> pd.DataFrame:
         if is_ruby[i]:
             # J4: ruby boxes probe toward the base line (below for
             # horizontal, left for vertical — ruby_search.cpp:12-108)
-            r = int(2.5 * b["h"].iloc[i] / SCALE) + 3
+            r = int(2.5 * h_a[i] / SCALE) + 3
             line_of[i] = _march_to_component(cell_map, int(ccy[i]), int(ccx[i]),
                                              r, prefer="down")
             if line_of[i] >= 0 and comp_vertical[line_of[i]]:
@@ -195,11 +207,11 @@ def group_page(boxes: pd.DataFrame, runs: pd.DataFrame) -> pd.DataFrame:
     for c in used_comps:
         idxs = np.nonzero(line_of == c)[0]
         vert = bool(comp_vertical[c])
-        axis = b["cy"].to_numpy() if vert else b["cx"].to_numpy()
+        axis = cy_a if vert else cx_a
         main = sorted((i for i in idxs if not is_ruby[i]),
-                      key=lambda i: (axis[i], int(b["box_id"].iloc[i])))
+                      key=lambda i: (axis[i], int(box_id_a[i])))
         rubys = sorted((i for i in idxs if is_ruby[i]),
-                       key=lambda i: (axis[i], int(b["box_id"].iloc[i])))
+                       key=lambda i: (axis[i], int(box_id_a[i])))
         emit: list[int] = []
         ri = 0
         k = 0
@@ -211,8 +223,8 @@ def group_page(boxes: pd.DataFrame, runs: pd.DataFrame) -> pd.DataFrame:
                 j = k
                 while j + 1 < len(main) and is_rubybase[main[j + 1]]:
                     j += 1
-                run_end_ax = axis[main[j]] + (b["w"].iloc[main[j]]
-                                              if not vert else b["h"].iloc[main[j]]) / 2
+                run_end_ax = axis[main[j]] + (w_a[main[j]]
+                                              if not vert else h_a[main[j]]) / 2
                 emit.extend(main[k + 1:j + 1])
                 # its ruby glyphs: all not-yet-emitted ruby up to run end
                 while ri < len(rubys) and axis[rubys[ri]] <= run_end_ax + SCALE:
@@ -225,11 +237,12 @@ def group_page(boxes: pd.DataFrame, runs: pd.DataFrame) -> pd.DataFrame:
         line_emit[c] = emit
 
     # line → block grouping (J6/J7) per orientation
-    med_size = float(np.median(b["h"].to_numpy())) if not b.empty else 32.0
+    med_size = float(np.median(h_a)) if not b.empty else 32.0
     gap_thresh = 3.5 * med_size / SCALE
 
-    sep_intervals = [(int(sep_runs["y"].iloc[i]), int(sep_runs["x1"].iloc[i]),
-                      int(sep_runs["x2"].iloc[i])) for i in range(len(sep_runs))]
+    sep_intervals = list(zip(sep_runs["y"].astype(int),
+                             sep_runs["x1"].astype(int),
+                             sep_runs["x2"].astype(int)))
 
     def sep_between(c1: int, c2: int) -> bool:
         lo = min(comp_y2[c1], comp_y2[c2])
@@ -302,10 +315,10 @@ def group_page(boxes: pd.DataFrame, runs: pd.DataFrame) -> pd.DataFrame:
                 if is_emphasis[i]:
                     subtype |= SUBTYPE_EMPHASIS
                 rows.append((
-                    int(b["box_id"].iloc[i]), float(b["p"].iloc[i]),
-                    float(b["cx"].iloc[i]), float(b["cy"].iloc[i]),
-                    float(b["w"].iloc[i]), float(b["h"].iloc[i]),
-                    b["feature"].iloc[i],
+                    int(box_id_a[i]), float(p_a[i]),
+                    float(cx_a[i]), float(cy_a[i]),
+                    float(w_a[i]), float(h_a[i]),
+                    feat_l[i],
                     bi, li, si, subtype,
                 ))
     return pd.DataFrame(rows, columns=out_cols)
