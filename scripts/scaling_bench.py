@@ -37,46 +37,72 @@ def build_pyfiles_zip() -> str:
                     z.write(p, os.path.relpath(p, REPO))
     return zpath
 
+def _submit_leg(cache: str, zpath: str, tag: str, pages_path: str,
+                cores: int, job_reps: int, run_idx: int) -> dict:
+    out_json = os.path.join(cache, f"scaling_{tag}_{cores}_{run_idx}.json")
+    cmd = [SPARK_SUBMIT, "--master", f"local[{cores}]",
+           "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                             "24g"),
+           "--py-files", zpath,
+           os.path.join(REPO, "scripts", "scaling_job.py"),
+           str(cores), pages_path, out_json, str(job_reps)]
+    print("+", " ".join(cmd), flush=True)
+    log = os.path.join(cache, f"scaling_{tag}_{cores}_{run_idx}.log")
+    with open(log, "w") as lf:
+        subprocess.run(cmd, check=True, cwd=REPO,
+                       stdout=lf, stderr=subprocess.STDOUT)
+    with open(out_json) as f:
+        rec = json.load(f)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2.0
+
+
 def run_mix(cache: str, zpath: str, tag: str, n_docs: int,
             raster_frac: float, pdf_frac: float,
-            core_pair: tuple[int, int] = (8, 32)) -> dict:
+            core_pair: tuple[int, int] = (8, 32),
+            interleave: int = 1) -> dict:
+    """One (corpus, N→4N) measurement.
+
+    With interleave > 1 the N and 4N legs run alternately (N, 4N, N, 4N, …)
+    and each side's throughput is the MEDIAN over its runs — slow drifts of
+    the shared host (GC state, page cache, background load) hit both sides
+    equally instead of landing on whichever leg ran in the bad window.
+    """
     pages_path = os.path.join(cache, f"pages_{tag}_{n_docs}.parquet")
     if not os.path.exists(pages_path):
         from findtextcenternet_spark.corpus import write_pages_parquet
         write_pages_parquet(pages_path, n_docs,
                             raster_frac=raster_frac, pdf_frac=pdf_frac)
-    results = {}
-    for cores in core_pair:
-        out_json = os.path.join(cache,
-                                f"scaling_{tag}_{core_pair[0]}_{cores}.json")
-        cmd = [SPARK_SUBMIT, "--master", f"local[{cores}]",
-               "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM",
-                                                 "24g"),
-               "--py-files", zpath,
-               os.path.join(REPO, "scripts", "scaling_job.py"),
-               str(cores), pages_path, out_json]
-        print("+", " ".join(cmd), flush=True)
-        log = os.path.join(cache,
-                           f"scaling_{tag}_{core_pair[0]}_{cores}.log")
-        with open(log, "w") as lf:
-            subprocess.run(cmd, check=True, cwd=REPO,
-                           stdout=lf, stderr=subprocess.STDOUT)
-        with open(out_json) as f:
-            results[cores] = json.load(f)
-        print(json.dumps(results[cores]), flush=True)
-    rn, r4n = results[core_pair[0]], results[core_pair[1]]
+    runs: dict[int, list[dict]] = {core_pair[0]: [], core_pair[1]: []}
+    job_reps = 3 if interleave == 1 else 1
+    for rep in range(interleave):
+        for cores in core_pair:
+            runs[cores].append(_submit_leg(cache, zpath, tag, pages_path,
+                                           cores, job_reps, rep))
+    rn, r4n = runs[core_pair[0]], runs[core_pair[1]]
+    dps_n = _median([r["docs_per_sec"] for r in rn])
+    dps_4n = _median([r["docs_per_sec"] for r in r4n])
+    hashes = {r["parity_hash"] for r in rn + r4n}
+    rows_ok = all(r["rows"] == n_docs for r in rn + r4n)
     return {
         "tag": tag, "n_docs": n_docs, "raster_frac": raster_frac,
         "n_cores": core_pair[0], "n4_cores": core_pair[1],
-        "docs_per_sec_n": rn["docs_per_sec"],
-        "docs_per_sec_4n": r4n["docs_per_sec"],
-        "wall_sec_n": rn["wall_sec"],
-        "wall_sec_4n": r4n["wall_sec"],
-        "scaling_efficiency": round(
-            r4n["docs_per_sec"] / (4.0 * rn["docs_per_sec"]), 3),
-        "parity_identical": (rn["parity_hash"] == r4n["parity_hash"]
-                             and rn["rows"] == r4n["rows"]),
-        "parity_hash": rn["parity_hash"],
+        "runs_per_leg": interleave,
+        "docs_per_sec_n": round(dps_n, 2),
+        "docs_per_sec_4n": round(dps_4n, 2),
+        "wall_sec_n": _median([r["wall_sec"] for r in rn]),
+        "wall_sec_4n": _median([r["wall_sec"] for r in r4n]),
+        "all_dps_n": [r["docs_per_sec"] for r in rn],
+        "all_dps_4n": [r["docs_per_sec"] for r in r4n],
+        "scaling_efficiency": round(dps_4n / (4.0 * dps_n), 3),
+        "parity_identical": len(hashes) == 1 and rows_ok,
+        "parity_hash": rn[0]["parity_hash"],
     }
 
 
@@ -91,7 +117,7 @@ def main() -> int:
     # multi-node cluster is in (executors on different hosts don't share a
     # memory bus). Secondary rows document the full-box saturation floor.
     headline = run_mix(cache, zpath, "raster", max(n_docs * 3 // 10, 3000),
-                       1.0, 0.0, core_pair=(2, 8))
+                       1.0, 0.0, core_pair=(2, 8), interleave=3)
     raster = run_mix(cache, zpath, "raster", n_docs // 2, 1.0, 0.0)
     mixed = run_mix(cache, zpath, "mixed", n_docs, 0.2, 0.1)
 

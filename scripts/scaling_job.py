@@ -32,6 +32,7 @@ def main() -> int:
     cores = int(sys.argv[1])
     pages_path = sys.argv[2]
     out_path = sys.argv[3]
+    n_reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
     from pyspark.sql import functions as F
 
@@ -50,7 +51,8 @@ def main() -> int:
     # long-running corpus job, not cold-start
     extract_documents(pages).write.format("noop").mode("overwrite").save()
 
-    wall = min(_timed_run(extract_documents, pages) for _ in range(2))
+    reps = [_timed_run(extract_documents, pages) for _ in range(n_reps)]
+    wall = min(reps)
 
     parity = (extract_documents(pages)
               .select(F.expr("xxhash64(url, text)").alias("h"))
@@ -59,6 +61,7 @@ def main() -> int:
 
     rec = {"cores": cores, "docs": docs, "wall_sec": round(wall, 2),
            "docs_per_sec": round(docs / wall, 2),
+           "wall_reps": [round(r, 2) for r in reps],
            "rows": parity["n"], "parity_hash": int(parity["hx"])}
     with open(out_path, "w") as f:
         json.dump(rec, f)
