@@ -92,6 +92,21 @@ def stream_quality_windows(spark: SparkSession, input_dir: str,
                  F.sum(F.length("html")).alias("bytes_in")))
 
 
+def stream_sessionize(spark: SparkSession, input_dir: str,
+                      gap: str = "30 minutes",
+                      watermark: str = "10 minutes"):
+    """Gap sessionization as a native streaming session window
+    (``F.session_window``): crawl activity per (session, lang). The batch
+    analogue (lag + running sum) is the registered ``sessionize`` oracle
+    query; this is the stateful streaming form with watermark-bounded
+    state."""
+    pages = read_pages_stream(spark, input_dir)
+    return (pages.withWatermark("warc_ts", watermark)
+            .groupBy(F.session_window("warc_ts", gap).alias("sess"), "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("chars")))
+
+
 _WELFORD_STATE = T.StructType([
     T.StructField("n", T.LongType()),
     T.StructField("mean", T.DoubleType()),

@@ -143,9 +143,12 @@ def main() -> int:
 
 Protocol: BASELINE.md §"Sandbox measurement protocol". Same job
 (`findtextcenternet_spark.pipeline.extract_documents`), same seed-fixed
-input, launched via `spark-submit --py-files` at local[8] (N) and
-local[32] (4N) on a 32-physical-core host. Timed section is steady state
-(one full untimed warm pass, then best of 2); throughput = docs / wall.
+input, launched via `spark-submit --py-files` at two parallelism levels on
+a 32-physical-core host. Timed sections are steady state (one full untimed
+warm pass first); the headline row interleaves its N and 4N legs
+(N,4N,N,4N,N,4N — fresh JVM each) and scores each side by its MEDIAN
+throughput, so host drift hits both sides symmetrically; the 8→32 rows use
+best-of-3 within one JVM. Throughput = docs / wall.
 Parity = order-insensitive `bit_xor(xxhash64(url, text))` over all
 extracted docs — byte-identical text per url at both cluster sizes.
 

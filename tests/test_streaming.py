@@ -100,3 +100,20 @@ def test_stream_welford_matches_batch(spark, pages_dir, tmp_path):
         assert np.isclose(got["mean_chars"], grp["n_chars"].mean())
         if len(grp) > 1:
             assert np.isclose(got["var_chars"], grp["n_chars"].var(ddof=1))
+
+
+def test_stream_sessionize(spark, pages_dir, tmp_path):
+    from findtextcenternet_spark.streaming import stream_sessionize
+    agg = stream_sessionize(spark, pages_dir)
+    q = (agg.writeStream.format("memory").queryName("sess")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    total = spark.sql("SELECT sum(n_docs) AS n FROM sess").collect()[0]["n"]
+    assert total == 120
+    # session windows are disjoint per lang and each spans >= one doc
+    bad = spark.sql(
+        "SELECT count(*) AS n FROM sess WHERE sess.end <= sess.start"
+    ).collect()[0]["n"]
+    assert bad == 0
