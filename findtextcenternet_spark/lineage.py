@@ -24,7 +24,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipeline import extract_documents
+from .pipeline import extract_documents_robust
 
 
 def _dir_nonempty(path: str) -> bool:
@@ -45,23 +45,30 @@ def run_extract(pages: DataFrame, out_dir: str,
     """One resumable extraction run.
 
     Anti-joins pages already present in ``out_dir/docs`` (resume), extracts
-    the remainder, appends docs (tagged with run_id + output partition id)
-    and one lineage row per partition to ``out_dir/_lineage``. Returns the
-    run summary dict.
+    the remainder poison-pill-safely (structurally invalid pages land in
+    ``out_dir/_quarantine`` with their error, never fail the job), appends
+    docs (tagged with run_id + output partition id) and one lineage row per
+    partition to ``out_dir/_lineage``. Returns the run summary dict.
     """
     spark = pages.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
     docs_dir = os.path.join(out_dir, "docs")
     lineage_dir = os.path.join(out_dir, "_lineage")
+    quarantine_dir = os.path.join(out_dir, "_quarantine")
 
     done = extracted_urls(spark, out_dir)
     todo = pages if done is None else pages.join(done, "url", "left_anti")
 
     t0 = time.time()
-    out = (extract_documents(todo, num_partitions)
+    docs, quarantine = extract_documents_robust(todo, num_partitions)
+    out = (docs
            .withColumn("run_id", F.lit(run_id))
            .withColumn("part_id", F.spark_partition_id()))
     out.write.mode("append").parquet(docs_dir)
+    n_quarantined = quarantine.count()
+    if n_quarantined:
+        (quarantine.withColumn("run_id", F.lit(run_id))
+         .write.mode("append").parquet(quarantine_dir))
     wall = time.time() - t0
 
     this_run = (spark.read.parquet(docs_dir)
@@ -77,8 +84,10 @@ def run_extract(pages: DataFrame, out_dir: str,
     lineage.write.mode("append").parquet(lineage_dir)
 
     n_docs = this_run.count()
-    return {"run_id": run_id, "n_docs": n_docs, "wall_sec": round(wall, 3),
-            "docs_dir": docs_dir, "lineage_dir": lineage_dir}
+    return {"run_id": run_id, "n_docs": n_docs,
+            "n_quarantined": n_quarantined, "wall_sec": round(wall, 3),
+            "docs_dir": docs_dir, "lineage_dir": lineage_dir,
+            "quarantine_dir": quarantine_dir}
 
 
 def lineage_table(spark: SparkSession, out_dir: str) -> DataFrame:

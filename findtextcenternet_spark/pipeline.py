@@ -344,11 +344,74 @@ def spread_pages(pages: DataFrame, num_partitions: int | None = None,
 
 def extract_documents(pages: DataFrame,
                       num_partitions: int | None = None) -> DataFrame:
-    """Full extraction: both legs, one output table."""
+    """Full extraction: all legs, one output table."""
     pages = spread_pages(pages, num_partitions)
     return (extract_html_path(pages)
             .unionByName(extract_pdf_path(pages))
             .unionByName(extract_raster_path(pages, num_partitions)))
+
+
+VALIDATED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def _validate_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Cheap structural probe per page — the full parse each leg will do,
+    run under try/except so a poisoned page becomes a quarantine row
+    instead of a task (and with 4 retries, job) failure."""
+    from .operators.pdf import PDF_MAGIC, extract_pdf_text
+
+    for pdf in it:
+        oks, errs = [], []
+        for html in pdf["html"]:
+            b = bytes(html)
+            try:
+                if b.startswith(RASTER_MARKER):
+                    layout = parse_layout(b)
+                    # required keys; glyph records must be well-formed
+                    _ = (layout["page_w"], layout["page_h"],
+                         layout["glyphs"], layout["textlines"])
+                    for g in layout["glyphs"][:4096]:
+                        _ = (g["cx"], g["cy"], g["w"], g["h"], g["cp"])
+                elif b.startswith(PDF_MAGIC):
+                    extract_pdf_text(b)
+                else:
+                    b.decode("utf-8", errors="strict")
+                oks.append(True)
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — quarantine, never fail
+                oks.append(False)
+                errs.append(f"{type(e).__name__}: {e}"[:500])
+        yield pd.DataFrame({"url": pdf["url"], "ok": oks, "error": errs})
+
+
+def validate_pages(pages: DataFrame) -> DataFrame:
+    """(url, ok, error) verdict per page; narrow, Arrow-batched."""
+    return pages.select("url", "html").mapInPandas(_validate_batches,
+                                                   VALIDATED_SCHEMA)
+
+
+def extract_documents_robust(pages: DataFrame,
+                             num_partitions: int | None = None,
+                             ) -> tuple[DataFrame, DataFrame]:
+    """Poison-pill-safe extraction for unbounded corpora.
+
+    Returns (docs, quarantine): pages failing the structural probe are
+    diverted to the quarantine frame (url + error) and the pipeline runs
+    only on validated pages — one malformed document out of 10^12 must
+    cost one quarantine row, not a job."""
+    pages = spread_pages(pages, num_partitions)
+    verdict = validate_pages(pages)
+    good = pages.join(verdict.filter(F.col("ok")).select("url"),
+                      "url", "left_semi")
+    quarantine = verdict.filter(~F.col("ok")).select("url", "error")
+    docs = (extract_html_path(good)
+            .unionByName(extract_pdf_path(good))
+            .unionByName(extract_raster_path(good, num_partitions)))
+    return docs, quarantine
 
 
 def pages_from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:

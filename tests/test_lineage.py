@@ -47,3 +47,38 @@ def test_lineage_rows_cover_all_docs(spark, tmp_path):
     # every lineage row carries wall time and a commit timestamp
     assert lin.filter(F.col("wall_sec") <= 0).count() == 0
     assert lin.filter(F.col("committed_at").isNull()).count() == 0
+
+
+def test_poison_pages_quarantined_not_fatal(spark, tmp_path):
+    """One corrupt page in the batch must cost one quarantine row — never
+    the job (at 10^12 docs a poison pill is a certainty)."""
+    import pandas as pd
+
+    from findtextcenternet_spark.corpus import RASTER_MARKER
+
+    out_dir = str(tmp_path / "extracted3")
+    good = generate_pandas = generate_pages(40)
+    bad = pd.DataFrame([
+        {"url": "https://bad.example.org/truncated-layout",
+         "warc_ts": generate_pandas["warc_ts"].iloc[0],
+         "html": RASTER_MARKER + b'{"page_w": 768, "glyphs": [{',
+         "text": "", "lang": "raster:xx"},
+        {"url": "https://bad.example.org/bad-utf8-html",
+         "warc_ts": generate_pandas["warc_ts"].iloc[0],
+         "html": b"<html>\xff\xfe broken</html>",
+         "text": "", "lang": "en"},
+    ])
+    pages = pages_from_pandas(
+        spark, pd.concat([good, bad], ignore_index=True))
+    r = run_extract(pages, out_dir, run_id="q1", num_partitions=4)
+    assert r["n_docs"] == 40
+    assert r["n_quarantined"] == 2
+    q = spark.read.parquet(out_dir + "/_quarantine").toPandas()
+    assert set(q["url"]) == {"https://bad.example.org/truncated-layout",
+                             "https://bad.example.org/bad-utf8-html"}
+    assert q["error"].str.len().min() > 0
+    # and the quarantined urls are NOT retried forever: a resume run sees
+    # them as still-not-done but re-quarantines without failing
+    r2 = run_extract(pages, out_dir, run_id="q2", num_partitions=4)
+    assert r2["n_docs"] == 0
+    assert r2["n_quarantined"] == 2
