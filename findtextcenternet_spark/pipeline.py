@@ -8,11 +8,15 @@
                             → applyInPandas(url)(assemble)     (shuffle 2)
             → unionByName → extracted docs
 
-Exactly two shuffles, both keyed on ``url`` (every other stage is narrow /
-Arrow-batched). Decode batches windows across pages, so a page with many
-windows never serializes a stage. Skewed hosts are handled by hashing on
-the full ``url`` (not domain) at the group shuffle plus AQE skew handling;
-an optional salted repartition spreads giant input files before detect.
+Shuffle budget: one input spread (``spread_pages``, hash on url — shared
+by all three legs via exchange/stage reuse) plus two grouped-stage
+repartitions in the raster leg whose hash partitioning the following
+groupBy reuses. Every other stage is narrow / Arrow-batched; decode
+batches windows across pages, so a page with many windows never serializes
+a stage. Skew: urls are unique, so hashing on the full url is the perfect
+case of salted domain repartition (tests/test_skew.py). Poison pills:
+``extract_documents_robust`` diverts structurally invalid pages to a
+quarantine frame instead of failing tasks.
 """
 
 from __future__ import annotations

@@ -101,3 +101,14 @@ def test_pipeline_shuffle_budget_and_pruning(spark):
         if "LocalTableScan" in line:
             assert "warc_ts" not in line and "lang" not in line, (
                 "input spread shuffles unpruned pages rows")
+
+
+def test_heavy_dedup_queries_avoid_cartesian(spark, reg):
+    """The pair-generating dedup/similarity queries must join on equi-keys
+    (band_key / label / bucket) — a cartesian product here is the classic
+    100 TB footgun."""
+    for name in ("dedup_lsh_verified", "dedup_ngram_jaccard",
+                 "dedup_embedding_cosine", "j2_interval_overlap"):
+        plan = _plan(spark, reg, name)
+        assert "CartesianProduct" not in plan, f"{name} goes quadratic"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} nested-loops"
