@@ -173,6 +173,27 @@ Rows, top = headline:
 
 Target ≥ 0.8 (BASELINE.json north_rule). Measured {summary['date']};
 reproduce with `python scripts/scaling_bench.py {n_docs}`.
+
+## Projection to the 10^12-document corpus
+
+Measured per-core steady-state throughput on the compute-representative
+corpus (headline row): {headline['docs_per_sec_4n']} docs/s on
+{headline['n4_cores']} cores ≈
+**{headline['docs_per_sec_4n'] / headline['n4_cores']:.0f} docs/s per
+core**, scaling at {headline['scaling_efficiency']} efficiency below the
+single-box memory ceiling. On a 1000-executor × 4-core cluster (4000
+cores, no shared DRAM between executors) that projects to
+~{headline['docs_per_sec_4n'] / headline['n4_cores'] * 4000 / 1e5:.1f}×10^5
+docs/s — with the caveat that a real CNN detector replaces the cheap
+surrogate kernel and the per-doc cost becomes model-bound (GPU executors),
+not pipeline-bound: the architecture's job is to keep the non-model
+overhead (shuffles, Arrow exchange, grouping) a small fraction of per-doc
+cost, which the mixed-vs-raster rows bound at well under 1 ms/doc/core.
+
+Resume/lineage at that scale: output is append-only with per-partition
+lineage rows; a restarted job anti-joins committed urls (lineage.py), so a
+failure costs at most the uncommitted tail of one run, and structurally
+invalid pages land in `_quarantine` instead of failing tasks.
 """)
     print(f"wrote {bench_md}")
     ok = all(m["parity_identical"] for m in (headline, raster, mixed))
