@@ -65,6 +65,36 @@ def _extract_synthetic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.size("spans").alias("n_spans"))
 
 
+def _extract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-pill path: corpus + two injected corrupt pages → the
+    quarantine frame (rows-only check; exact errors asserted in
+    tests/test_lineage.py)."""
+    import pandas as pd
+
+    from findtextcenternet_spark.corpus import RASTER_MARKER, generate_pages
+    from findtextcenternet_spark.pipeline import (
+        extract_documents_robust,
+        pages_from_pandas,
+    )
+
+    good = generate_pages(50)
+    bad = pd.DataFrame([
+        {"url": "https://bad.example.org/truncated-layout",
+         "warc_ts": good["warc_ts"].iloc[0],
+         "html": RASTER_MARKER + b'{"page_w": 768, "glyphs": [{',
+         "text": "", "lang": "raster:xx"},
+        {"url": "https://bad.example.org/bad-utf8",
+         "warc_ts": good["warc_ts"].iloc[0],
+         "html": b"<html>\xff\xfe broken</html>",
+         "text": "", "lang": "en"},
+    ])
+    pages = pages_from_pandas(
+        spark, pd.concat([good, bad], ignore_index=True))
+    docs, quarantine = extract_documents_robust(pages, num_partitions=8)
+    return quarantine.select(
+        "url", F.substring("error", 1, 40).alias("error_head"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _extract_html_docs(spark, "/root/testdata/sf0.001")
@@ -78,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["s5_extract_html_docs"] = _extract_html_docs
     out["pipeline_extract_corpus"] = _extract_synthetic_corpus
+    out["pipeline_quarantine"] = _extract_quarantine
     return out
 
 
