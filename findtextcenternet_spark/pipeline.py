@@ -161,7 +161,7 @@ def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 [f.name for f in DETECT_SCHEMA.fields]]
 
 
-def _group_and_window(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _group_and_window(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas(url) kernel: group boxes into reading order, tokenize,
     segment into decode windows."""
     url = key[0]
@@ -208,7 +208,7 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
-def _assemble_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _assemble_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     url = key[0]
     pdf = pdf.sort_values("win_id")
     windows = [
