@@ -36,6 +36,16 @@ SUBTYPE_RUBYBASE = 2
 SUBTYPE_RUBY = 2 + 4
 SUBTYPE_SPACE = 8
 SUBTYPE_EMPHASIS = 16
+SUBTYPE_ALONE_RUBY = 32
+SUBTYPE_TAB_SPLIT = 512
+
+# --- textline_detect thresholds (textline_detect/src/main.cpp:17-30) ---
+LINE_VALUETH = 0.4       # lineimage cells above join textline components
+SEP_VALUETH = 0.1        # sepimage cells above seed the lineblocker
+SEP_VALUETH2 = 0.15      # chain_space separator rejection threshold
+SEP_CLUSTERTH = 10.0     # blocker clusters with value-sum below are erased
+ALLOWWIDTH_NEXT_BLOCK = 1.5  # next-line scan width factor (make_block)
+ALLOW_SIZEDIFF = 0.5     # max relative size diff for next-line edges
 
 # --- decoder (const.py:1-16, util_func.py:5, models/transformer.py:280-359) ---
 MAX_ENCODERLEN = 400        # encoder window token budget

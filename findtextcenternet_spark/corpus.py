@@ -438,7 +438,7 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = CORPUS_SEED,
 def generate_pages_range(lo: int, hi: int, seed: int = CORPUS_SEED,
                          raster_frac: float = 0.2,
                          pdf_frac: float = 0.1) -> pd.DataFrame:
-    rows = [make_page(i, seed) for i in range(lo, hi)]
+    rows = [make_page(i, seed, raster_frac, pdf_frac) for i in range(lo, hi)]
     df = pd.DataFrame(rows)
     df["warc_ts"] = pd.to_datetime(df["warc_ts"])
     return df

@@ -38,8 +38,6 @@ from .operators.decode import expand_window, segment_windows, tokenize_page
 from .operators.detect import detect_page, parse_layout
 from .operators.group import group_page
 
-_MARKER_PREFIX = RASTER_MARKER.decode()
-
 # ---------------------------------------------------------------- schemas
 
 DETECT_SCHEMA = T.StructType([
@@ -241,9 +239,8 @@ def extract_pdf_udf(blob: pd.Series) -> pd.Series:
 
 
 def is_raster_col():
-    # cheap prefix probe on the binary column — stays JVM-side
-    return F.startswith(
-        F.col("html").cast("string"), F.lit(_MARKER_PREFIX))
+    # binary prefix probe — JVM-side, no decoded copy of the page
+    return F.startswith(F.col("html"), F.lit(RASTER_MARKER))
 
 
 def is_pdf_col():

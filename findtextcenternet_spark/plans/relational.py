@@ -284,8 +284,13 @@ def scalable_global_rank(df: DataFrame, *order_cols) -> DataFrame:
     sum, broadcast back). Requires a tie-free total order.
     Adds column ``read_order``.
     """
-    ranged = df.repartitionByRange(*order_cols)
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    # explicit partition count: a bare repartitionByRange is AQE-coalescible
+    # and re-sampled on recompute, so the offset map collected below could
+    # disagree with the second execution's partitioning; pinning n (AQE-
+    # exempt) + caching makes both jobs see the identical partitioning
+    n = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(n, *order_cols)
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).cache()
     counts = {r["_pid"]: r["n"] for r in
               ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     offsets, acc = {}, 0
@@ -789,21 +794,31 @@ def a11_connected_components(spark, sf_dir):
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
     labels = s.select("node", "nation", F.col("node").alias("label"))
-    for _ in range(32):  # ≥ log2(max run length) rounds; fixpoint-checked
+    for rnd in range(32):  # ≥ log2(max run length) rounds; fixpoint-checked
         prop = (labels.join(edges, labels.node == edges.a)
                 .groupBy(F.col("b").alias("node"))
                 .agg(F.min("label").alias("nbr_label")))
         new = (labels.join(prop, "node", "left")
                .select("node", "nation",
                        F.least("label", F.coalesce("nbr_label", "label"))
-                       .alias("label")))
-        new = new.cache()
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new
-        if changed == 0:
-            break
+                       .alias("label"),
+                       (F.col("label") !=
+                        F.least("label", F.coalesce("nbr_label", "label")))
+                       .alias("_chg")))
+        # localCheckpoint truncates lineage each round — 32 rounds of
+        # stacked joins would otherwise grow the plan without bound;
+        # superseded checkpoint blocks are reclaimed by the ContextCleaner
+        # once the old frame's reference drops
+        new = new.localCheckpoint(eager=True)
+        # convergence flag rides the same pass (no labels-vs-labels join);
+        # check every 2 rounds — label doubling converges fast and each
+        # count pays one (cheap, checkpoint-backed) job
+        if rnd % 2 == 1 or rnd == 31:
+            if new.filter(F.col("_chg")).count() == 0:
+                labels = new.drop("_chg")
+                break
+        labels = new.drop("_chg")
+    edges.unpersist()
     return (labels.groupBy("label", "nation")
             .agg(F.count("*").alias("n_nodes"))
             .select(F.col("label").cast("long").alias("component"),

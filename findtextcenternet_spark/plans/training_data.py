@@ -163,42 +163,80 @@ def dedup_simhash(spark, sf_dir):
     return df.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
+def _band_pairs_sql() -> str:
+    """LSH candidate-pair CTEs (shared by the verified dedup flows)."""
+    bands = "\nUNION ALL\n".join(
+        f"SELECT {b} AS band, m{2*b} || m{2*b+1} AS band_key, doc_id FROM sig"
+        for b in range(_BANDS))
+    return f"""sh_t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+sig AS (SELECT doc_id, {", ".join(
+    f"list_min([md5('{p}|' || s) for s in sh]) AS m{p}"
+    for p in range(_N_PERM))} FROM sh_t),
+b AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM b a JOIN b c
+    ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id)"""
+
+
+def _lsh_candidate_pairs(spark, sf_dir):
+    """LSH banding → distinct candidate (doc_a, doc_b) pairs — the only
+    pair generator any near-dup verify step is allowed to consume (the
+    plan guard in tests/test_plans.py bans cartesian shapes)."""
+    sig = dedup_minhash_signature(spark, sf_dir)
+    bands = F.array(*[
+        F.struct(F.lit(bb).alias("band"),
+                 F.concat(F.col(f"m{2*bb}"), F.col(f"m{2*bb+1}"))
+                 .alias("band_key"))
+        for bb in range(_BANDS)
+    ])
+    banded = (sig.select("doc_id", F.explode(bands).alias("bk"))
+              .select("doc_id", F.col("bk.band").alias("band"),
+                      F.col("bk.band_key").alias("band_key")))
+    a, c = banded.alias("a"), banded.alias("c")
+    return (a.join(c, (F.col("a.band") == F.col("c.band"))
+                   & (F.col("a.band_key") == F.col("c.band_key"))
+                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("c.doc_id").alias("doc_b"))
+            .distinct())
+
+
 @register("dedup_ngram_jaccard", """
-WITH w AS (
-  SELECT doc_id, lang, n_chars // 64 AS bucket,
-         list_distinct(string_split(text, ' ')) AS words
+WITH """ + _band_pairs_sql() + """,
+w AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
   FROM documents),
 p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT pr.doc_a, pr.doc_b,
          CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
          (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))
            AS jac
-  FROM w a JOIN w b
-    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+  FROM pairs pr
+  JOIN w a ON a.doc_id = pr.doc_a
+  JOIN w b ON b.doc_id = pr.doc_b)
 SELECT doc_a, doc_b, round(jac, 4) AS jaccard
 FROM p WHERE jac >= 0.8
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Word-set Jaccard near-dup over blocked candidate pairs (block =
-    (lang, length-bucket) so the self-join never goes quadratic)."""
+    """Word-set Jaccard near-dup verified over LSH candidate pairs.
+
+    The pair generator is the MinHash/LSH band join (bounded fan-out, one
+    band_key shuffle) — never an attribute-blocked self-join: a
+    (lang, length-bucket) block holds millions of docs at corpus scale and
+    goes quadratic. Word-set Jaccard is the verify metric; candidates only."""
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
     w = (_t(spark, sf_dir, "documents")
-         .select("doc_id", "lang",
-                 (F.col("n_chars") / 64).cast("long").alias("bucket"),
-                 F.array_distinct(F.split("text", " ")).alias("words")))
-    a = w.alias("a")
-    b = w.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    union = (F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter)
+         .select("doc_id", F.array_distinct(F.split("text", " ")).alias("words")))
+    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("w_a"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("w_b"))
+    inter = F.size(F.array_intersect("w_a", "w_b"))
+    union = (F.size("w_a") + F.size("w_b") - inter)
     jac = inter.cast("double") / union
-    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.round(jac, 4).alias("jaccard"),
-                    jac.alias("_jac"))
+    return (pairs.join(wa, "doc_a").join(wb, "doc_b")
+            .withColumn("_jac", jac)
             .filter(F.col("_jac") >= 0.8)
-            .drop("_jac"))
+            .select("doc_a", "doc_b", F.round("_jac", 4).alias("jaccard")))
 
 
 # ---------------------------------------------------------------- similarity
@@ -591,23 +629,7 @@ def dedup_lsh_verified(spark, sf_dir):
     candidate pairs (cheap, one shuffle on band_key), exact shingle-set
     Jaccard verifies them (expensive, but only on the candidates). At
     100 TB the verify join touches ~0.01% of the pair space."""
-    sig = dedup_minhash_signature(spark, sf_dir)
-    bands = F.array(*[
-        F.struct(F.lit(bb).alias("band"),
-                 F.concat(F.col(f"m{2*bb}"), F.col(f"m{2*bb+1}"))
-                 .alias("band_key"))
-        for bb in range(_BANDS)
-    ])
-    banded = (sig.select("doc_id", F.explode(bands).alias("bk"))
-              .select("doc_id", F.col("bk.band").alias("band"),
-                      F.col("bk.band_key").alias("band_key")))
-    a, c = banded.alias("a"), banded.alias("c")
-    pairs = (a.join(c, (F.col("a.band") == F.col("c.band"))
-                    & (F.col("a.band_key") == F.col("c.band_key"))
-                    & (F.col("a.doc_id") < F.col("c.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("c.doc_id").alias("doc_b"))
-             .distinct())
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
     sh = (_with_shingles(_t(spark, sf_dir, "documents"))
           .select("doc_id", F.array_distinct("sh").alias("sh")))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

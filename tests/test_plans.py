@@ -53,11 +53,6 @@ def test_no_single_partition_window_anywhere(spark, reg):
     partition — banned in every registered query."""
     for name, (fn, _sql) in reg.items():
         df = fn(spark, SF)
-        opt = df._jdf.queryExecution().optimizedPlan().toString()
-        for line in opt.splitlines():
-            if "Window [" in line or "windowspecdefinition" in line.lower():
-                assert "partitionby" not in line.lower() or \
-                    ", [" in line.split("windowspecdefinition")[0] or True
         # executed plan: look for the explicit single-partition exchange
         # that Spark inserts for empty partition specs
         phys = df._jdf.queryExecution().executedPlan().toString()
