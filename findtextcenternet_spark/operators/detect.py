@@ -339,29 +339,37 @@ def detect_page(layout: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
     # through Arrow than list<float> (no per-element boxing)
     boxes["feature"] = [row.tobytes() for row in feats]
 
-    # RLE runs of the thresholded line / sep maps (group-stage input)
+    # RLE runs of the thresholded line / sep maps (group-stage input).
+    # Sep runs are cut at the group stage's lower blocker seed threshold
+    # (SEP_VALUETH, main.cpp:22) and carry the cell value so the group
+    # stage can rebuild the float sepimage its cluster-prune/hysteresis
+    # pass needs (prepare.cpp:99-170); runs split where the value changes.
+    from ..config import LINE_VALUETH, SEP_VALUETH
+
     runs_rows = []
-    for name, ch in (("line", CH_LINE), ("sep", CH_SEP)):
-        mask = sigmoid(page[ch]) > 0.5
+    for name, ch, th in (("line", CH_LINE, LINE_VALUETH),
+                         ("sep", CH_SEP, SEP_VALUETH)):
+        vals = sigmoid(page[ch])
+        mask = vals > th
         for y in range(mask.shape[0]):
             row = mask[y]
             if not row.any():
                 continue
-            d = np.diff(row.astype(np.int8))
-            starts = np.nonzero(d == 1)[0] + 1
-            ends = np.nonzero(d == -1)[0]
-            if row[0]:
-                starts = np.concatenate([[0], starts])
-            if row[-1]:
-                ends = np.concatenate([ends, [len(row) - 1]])
-            for s, e in zip(starts, ends):
-                runs_rows.append((name, y, int(s), int(e)))
-    runs = pd.DataFrame(runs_rows, columns=["channel", "y", "x1", "x2"])
+            # split runs on mask edges AND value changes (quantized)
+            q = np.where(row, np.round(vals[y], 6), 0.0)
+            change = np.nonzero(np.diff(q) != 0)[0] + 1
+            bounds = np.concatenate([[0], change, [len(row)]])
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if row[s]:
+                    runs_rows.append((name, y, int(s), int(e) - 1,
+                                      float(q[s])))
+    runs = pd.DataFrame(runs_rows, columns=["channel", "y", "x1", "x2", "v"])
     if runs.empty:
         runs = pd.DataFrame({"channel": pd.Series([], dtype=str),
                              "y": pd.Series([], dtype=np.int64),
                              "x1": pd.Series([], dtype=np.int64),
-                             "x2": pd.Series([], dtype=np.int64)})
+                             "x2": pd.Series([], dtype=np.int64),
+                             "v": pd.Series([], dtype=np.float64)})
     return boxes, runs
 
 

@@ -58,6 +58,7 @@ DETECT_SCHEMA = T.StructType([
     T.StructField("ry", T.LongType()),
     T.StructField("rx1", T.LongType()),
     T.StructField("rx2", T.LongType()),
+    T.StructField("rv", T.DoubleType()),             # run cell value
 ])
 
 # tokens/meta/tok_of travel as packed little-endian buffers, one binary
@@ -140,6 +141,7 @@ def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 b["ry"] = -1
                 b["rx1"] = -1
                 b["rx2"] = -1
+                b["rv"] = 0.0
                 out.append(b)
             if not runs.empty:
                 r = pd.DataFrame({
@@ -152,6 +154,7 @@ def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "ry": runs["y"].astype("int64"),
                     "rx1": runs["x1"].astype("int64"),
                     "rx2": runs["x2"].astype("int64"),
+                    "rv": runs["v"].astype("float64"),
                 })
                 out.append(r)
         if out:
@@ -172,6 +175,7 @@ def _group_and_window(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         "y": pdf.loc[pdf["kind"] == "run", "ry"],
         "x1": pdf.loc[pdf["kind"] == "run", "rx1"],
         "x2": pdf.loc[pdf["kind"] == "run", "rx2"],
+        "v": pdf.loc[pdf["kind"] == "run", "rv"],
     }).sort_values(["channel", "y", "x1"]).reset_index(drop=True)
 
     ordered = group_page(boxes, runs)
