@@ -83,9 +83,10 @@ def _extract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
          "warc_ts": good["warc_ts"].iloc[0],
          "html": RASTER_MARKER + b'{"page_w": 768, "glyphs": [{',
          "text": "", "lang": "raster:xx"},
-        {"url": "https://bad.example.org/bad-utf8",
+        {"url": "https://bad.example.org/compressed-pdf",
          "warc_ts": good["warc_ts"].iloc[0],
-         "html": b"<html>\xff\xfe broken</html>",
+         "html": b"%PDF-1.4\n1 0 obj << /Filter /FlateDecode >>\n"
+         b"stream\nxxxx\nendstream\n",
          "text": "", "lang": "en"},
     ])
     pages = pages_from_pandas(

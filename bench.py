@@ -43,9 +43,12 @@ def _bench_pages_parquet(n_docs: int) -> str:
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"pages_{n_docs}.parquet")
+    from findtextcenternet_spark.corpus import (
+        CORPUS_VERSION,
+        write_pages_parquet,
+    )
+    path = os.path.join(cache, f"pages_v{CORPUS_VERSION}_{n_docs}.parquet")
     if not os.path.exists(path):
-        from findtextcenternet_spark.corpus import write_pages_parquet
         write_pages_parquet(path, n_docs)
     return path
 

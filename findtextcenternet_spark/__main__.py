@@ -7,8 +7,8 @@
 
 Batch mode runs one resumable lineage-tracked extraction pass (re-invoking
 with the same OUT_DIR extracts only not-yet-done urls). --streaming tails
-INPUT_PARQUET as a file-source stream with checkpointed exactly-once
-output instead.
+INPUT_PARQUET as a file-source stream with checkpointed, idempotent
+(effectively-once) output instead.
 """
 
 from __future__ import annotations

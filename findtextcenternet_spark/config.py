@@ -42,6 +42,9 @@ SUBTYPE_TAB_SPLIT = 512
 # --- textline_detect thresholds (textline_detect/src/main.cpp:17-30) ---
 LINE_VALUETH = 0.4       # lineimage cells above join textline components
 SEP_VALUETH = 0.1        # sepimage cells above seed the lineblocker
+SEP_RUN_FLOOR = 0.05     # detect emits sep runs down to here: hysteresis
+                         # grow reaches 0.1x the seed value, below the
+                         # blocker seed threshold (prepare.cpp:135-169)
 SEP_VALUETH2 = 0.15      # chain_space separator rejection threshold
 SEP_CLUSTERTH = 10.0     # blocker clusters with value-sum below are erased
 ALLOWWIDTH_NEXT_BLOCK = 1.5  # next-line scan width factor (make_block)

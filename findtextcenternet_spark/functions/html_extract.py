@@ -27,6 +27,37 @@ import re
 
 import pandas as pd
 
+_CHARSET_RE = re.compile(rb'charset=["\']?([\w-]+)', re.I)
+_CHARSET_ALIAS = {
+    "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
+    "x-sjis": "cp932", "windows-31j": "cp932", "ms932": "cp932",
+}
+
+
+def decode_page_bytes(b) -> str:
+    """Bytes -> str with charset handling (a real web corpus is full of
+    non-UTF-8 pages; the reference's own scraper decodes cp932,
+    get_aozora.py:76): honor a <meta charset=...> declaration in the head,
+    else try utf-8 strict, then cp932 strict, then latin-1 (total)."""
+    if isinstance(b, str):
+        return b
+    b = bytes(b)
+    m = _CHARSET_RE.search(b[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", "ignore").lower()
+        enc = _CHARSET_ALIAS.get(enc, enc)
+        try:
+            return b.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            pass
+    for enc in ("utf-8", "cp932"):
+        try:
+            return b.decode(enc)
+        except UnicodeDecodeError:
+            continue
+    return b.decode("latin-1")
+
+
 _MAIN_DIV_RE = re.compile(r'<div[^>]*class="main_text"[^>]*>')
 _DIV_RE = re.compile(r"<div\b[^>]*>|</div>")
 _RUBY_HTML_RE = re.compile(r"<ruby><rb>(.*?)</rb>.*?<rt>(.*?)</rt>.*?</ruby>")
@@ -89,7 +120,7 @@ def extract_main_text_series(html: pd.Series) -> pd.Series:
     The regex cascade runs as pandas vectorized str ops; the div-depth scan
     is the only per-string step.
     """
-    s = html.map(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
+    s = html.map(lambda b: decode_page_bytes(b) if b is not None else "")
     s = s.map(_slice_main_text)
     s = s.str.replace("／″＼", "〴〵", regex=False)
     s = s.str.replace("／＼", "〳〵", regex=False)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pandas as pd
 
 from .corpus import RASTER_MARKER
-from .functions.html_extract import extract_main_text
+from .functions.html_extract import decode_page_bytes, extract_main_text
 from .functions.ruby import decode_ruby
 from .operators.assemble import assemble_page
 from .operators.decode import expand_window, segment_windows, tokenize_page
@@ -47,7 +47,7 @@ def extract_page_golden(url: str, html: bytes) -> dict:
                "spans": [], "lines": [], "blocks": [],
                "path": "pdf"}
     else:
-        text = extract_main_text(html.decode("utf-8", "replace"))
+        text = extract_main_text(decode_page_bytes(html))
         rec = {"text": text,
                "aozora": decode_ruby(text, "aozora"),
                "noruby": decode_ruby(text, "noruby"),

@@ -282,7 +282,15 @@ def expand_window(tokens: np.ndarray, meta: np.ndarray
     fl = tokens[:, FEATURE_DIM:]
     glyph_mask = fl[:, TK_NL] == 0
     glyph_idx = np.nonzero(glyph_mask)[0]
-    codes, _ = mask_predict(tokens[glyph_idx])
+    # D2 SOT/EOT framing: the encoder tensor is wrapped in SP_token /
+    # -SP_token rows (process_ocr_base.py:172-174,230-233); the decoder
+    # consumes them as sequence delimiters — their output positions are
+    # discarded
+    framed = np.vstack([sp_token()[None, :],
+                        tokens[glyph_idx],
+                        -sp_token()[None, :]])
+    codes_all, _ = mask_predict(framed)
+    codes = codes_all[1:-1]
     code_of = dict(zip(glyph_idx.tolist(), codes.tolist()))
 
     out: list[str] = []

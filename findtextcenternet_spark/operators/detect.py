@@ -145,14 +145,19 @@ def _stamp_maps(layout: dict, ox: int, oy: int, h_cells: int,
         x1 = int(round(sp["x2"] / SCALE)) - ox
         y0 = int(round(sp["y1"] / SCALE)) - oy
         y1 = int(round(sp["y2"] / SCALE)) - oy
+        # separator strength: layouts may carry a per-stroke value v in
+        # (0,1) — e.g. weak halos around a strong core, the hysteresis
+        # fixture (prepare.cpp:135-169); v >= sigmoid(_ON_LOGIT) clamps
+        v = float(sp.get("v", 1.0))
+        logit = _ON_LOGIT if v >= 0.98 else math.log(v / (1.0 - v))
         if y0 == y1:
             lo, hi = max(0, min(x0, x1)), min(w_cells - 1, max(x0, x1))
             if 0 <= y0 < h_cells and lo <= hi:
-                hm[CH_SEP, y0, lo:hi + 1] = _ON_LOGIT
+                hm[CH_SEP, y0, lo:hi + 1] = logit
         elif x0 == x1:
             lo, hi = max(0, min(y0, y1)), min(h_cells - 1, max(y0, y1))
             if 0 <= x0 < w_cells and lo <= hi:
-                hm[CH_SEP, lo:hi + 1, x0] = _ON_LOGIT
+                hm[CH_SEP, lo:hi + 1, x0] = logit
 
     return hm
 
@@ -234,11 +239,59 @@ def maxpool3x3(p: np.ndarray) -> np.ndarray:
     return out
 
 
-def greedy_nms(boxes: np.ndarray) -> np.ndarray:
+def cluster_dist(hist: np.ndarray) -> float:
+    """P6 contrast score: 1-D 2-means over a 256-bin histogram, iterated
+    to fixpoint; score = distance between the two cluster means
+    (cluster_dist, process_ocr_base.py:653-688 — exact port)."""
+    sum_y = hist.sum()
+    if sum_y == 0:
+        return 0.0
+    i = np.arange(hist.shape[0])
+    v = hist * i
+    mean_y = v.sum() / sum_y
+    s1 = hist[:int(mean_y + 0.5)].sum()
+    s2 = hist[int(mean_y + 0.5):].sum()
+    if s1 == 0 or s2 == 0:
+        return 0.0
+    k1 = v[:int(mean_y + 0.5)].sum() / s1
+    k2 = v[int(mean_y + 0.5):].sum() / s2
+    dist1, dist2 = 256.0, abs(k1 - k2)
+    while dist1 != dist2:
+        dist1 = dist2
+        m = np.abs(i - k1) < np.abs(i - k2)
+        s1, s2 = hist[m].sum(), hist[~m].sum()
+        if s1 == 0 or s2 == 0:
+            return 0.0
+        k1 = v[m].sum() / s1
+        k2 = v[~m].sum() / s2
+        dist2 = abs(k1 - k2)
+    return float(dist1)
+
+
+def contrast_score(w: float, h: float, contrast: float) -> float:
+    """imageHist for the surrogate: a box's pixel window is a two-tone
+    patch (background 255, ink 255 - contrast*230 covering half the area)
+    — its histogram fed through the real cluster_dist
+    (imageHist, process_ocr_base.py:690-693). With real pixels the
+    histogram comes from the decoded image window; only the patch is
+    synthetic here."""
+    n = max(2, int(w * h))
+    ink = min(255, max(0, int(round(255 - contrast * 230.0))))
+    hist = np.zeros(256, dtype=np.int64)
+    hist[255] += n - n // 2
+    hist[ink] += n // 2
+    return cluster_dist(hist)
+
+
+def greedy_nms(boxes: np.ndarray, hists: np.ndarray | None = None,
+               th_hist: float = -1.0) -> np.ndarray:
     """Greedy IoU NMS in descending-score order (T3,
     process_ocr_base.py:559-608): drop if IoU>0.5 with an accepted box, or
-    intersection>0.75·own area, or accepted-fill>0.5. Returns keep mask
-    aligned with the (already score-sorted) input (n,5)=(p,cx,cy,w,h)."""
+    intersection>0.75·own area, or accepted-fill>0.5. ``hists``/``th_hist``
+    interleave the P6 contrast filter exactly where the reference applies
+    it — inside the loop, before the overlap checks
+    (process_ocr_base.py:574-575). Returns keep mask aligned with the
+    (already score-sorted) input (n,5)=(p,cx,cy,w,h)."""
     n = boxes.shape[0]
     keep = np.zeros(n, dtype=bool)
     if n == 0:
@@ -250,6 +303,8 @@ def greedy_nms(boxes: np.ndarray) -> np.ndarray:
     area = boxes[:, 3] * boxes[:, 4]
     acc: list[int] = []
     for i in range(n):
+        if hists is not None and hists[i] < th_hist:
+            continue
         if acc:
             a = np.array(acc)
             ix = np.minimum(x2[i], x2[a]) - np.maximum(x1[i], x1[a])
@@ -294,14 +349,30 @@ def detect_page(layout: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
     ok = (w > 1.0) & (h > 1.0) & (w < layout["page_w"]) & (h < layout["page_h"])
     ys, xs, pv, w, h, cx, cy = ys[ok], xs[ok], pv[ok], w[ok], h[ok], cx[ok], cy[ok]
 
+    # glyph cell lookup (shared by P6 contrast and the feature read below)
+    gl = layout["glyphs"]
+    feat_lookup: dict[tuple[int, int], int] = {}
+    for gi, g in enumerate(gl):
+        feat_lookup[(int(round(g["cy"] / SCALE)), int(round(g["cx"] / SCALE)))] = gi
+
+    # P6: contrast filter — per-box two-cluster histogram distance,
+    # threshold median(all)/5 (process_ocr_base.py:543-557); applied
+    # inside the greedy NMS loop exactly like the reference
+    hists = np.zeros(len(ys))
+    for j in range(len(ys)):
+        gi = feat_lookup.get((int(ys[j]), int(xs[j])), -1)
+        contrast = float(gl[gi].get("contrast", 1.0)) if gi >= 0 else 1.0
+        hists[j] = contrast_score(w[j], h[j], contrast)
+    th_hist = (float(np.median(hists)) / 5.0) if len(hists) else 0.0
+
+    # T3: greedy IoU NMS in score order, P6-gated
+    keep = greedy_nms(np.stack([pv, cx, cy, w, h], axis=1), hists, th_hist)
+    ys, xs, pv, w, h, cx, cy = ys[keep], xs[keep], pv[keep], w[keep], h[keep], cx[keep], cy[keep]
+
     # P7: separator-mask filter — drop boxes centered on separator pixels
     sep_p = sigmoid(page[CH_SEP, ys, xs])
     ok = sep_p <= 0.5
     ys, xs, pv, w, h, cx, cy = ys[ok], xs[ok], pv[ok], w[ok], h[ok], cx[ok], cy[ok]
-
-    # T3: greedy IoU NMS in score order
-    keep = greedy_nms(np.stack([pv, cx, cy, w, h], axis=1))
-    ys, xs, pv, w, h, cx, cy = ys[keep], xs[keep], pv[keep], w[keep], h[keep], cx[keep], cy[keep]
 
     # A2: code flags max-pooled over the 3×3 neighborhood of the center
     codes = np.zeros((4, len(ys)), dtype=np.float64)
@@ -316,12 +387,8 @@ def detect_page(layout: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
         codes[ci] = sigmoid(cmax.astype(np.float64))
 
     # glyph features read at the peak cells (surrogate: invertible embedding)
-    gl = layout["glyphs"]
-    feat_lookup: dict[tuple[int, int], int] = {}
     cps = np.array([g["cp"] for g in gl], dtype=np.int64)
     emb = feature_embedding(cps) if len(gl) else np.zeros((0, FEATURE_DIM), np.float32)
-    for i, g in enumerate(gl):
-        feat_lookup[(int(round(g["cy"] / SCALE)), int(round(g["cx"] / SCALE)))] = i
     feats = np.zeros((len(ys), FEATURE_DIM), dtype=np.float32)
     for j in range(len(ys)):
         gi = feat_lookup.get((int(ys[j]), int(xs[j])), -1)
@@ -344,11 +411,11 @@ def detect_page(layout: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
     # (SEP_VALUETH, main.cpp:22) and carry the cell value so the group
     # stage can rebuild the float sepimage its cluster-prune/hysteresis
     # pass needs (prepare.cpp:99-170); runs split where the value changes.
-    from ..config import LINE_VALUETH, SEP_VALUETH
+    from ..config import LINE_VALUETH, SEP_RUN_FLOOR
 
     runs_rows = []
     for name, ch, th in (("line", CH_LINE, LINE_VALUETH),
-                         ("sep", CH_SEP, SEP_VALUETH)):
+                         ("sep", CH_SEP, SEP_RUN_FLOOR)):
         vals = sigmoid(page[ch])
         mask = vals > th
         for y in range(mask.shape[0]):

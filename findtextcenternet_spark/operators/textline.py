@@ -2462,14 +2462,21 @@ def remove_dupspace(P: Page, order: list[int]) -> None:
 def find_lostspace(P: Page, order: list[int]) -> None:
     """W6 lost-space detection (find_lostspace space_check.cpp:76-673):
     per block, take each line's first <=3 non-ruby boxes, reject thin /
-    deeply-indented lines, fit the block's left margin with a polynomial
-    least-squares curve over the trusted line heads (the reference uses
-    MINPACK lmdif — np.polyfit is the same least-squares fit), and set
-    the head-of-line space flag to (line head starts right of the fitted
-    margin). The amx EMA walk that picks which heads are trusted is
-    simplified to: trust heads whose first two boxes are regular-width
-    and regularly spaced (the reference's skip conditions,
-    space_check.cpp:219-252)."""
+    deeply-indented lines; walk the lines with the amx running-margin
+    estimate (EMA slope delta, space_check.cpp:254-301) deciding per head
+    whether it sits AT the margin or one character IN (indent) — a head
+    that matches neither expectation is skipped; then least-squares fit
+    the margin curve over the trusted heads (the reference uses MINPACK
+    lmdif with n=min(4,m) coefficients — np.polyfit(deg=n-1) is the same
+    fit, space_check.cpp:638-643) using the indent-corrected edge points
+    (sx[0] for indented heads, sx[1] otherwise, space_check.cpp:625-636);
+    finally every line's head space flag is re-derived from
+    cx_head > fitted margin (space_check.cpp:658-671).
+
+    Simplification vs the reference: the walk always runs top-to-bottom
+    (the reference picks the topmost wide-headed line as the walk seed and
+    adds a reverse pass, space_check.cpp:181-208,303-398 — relevant only
+    to pages whose first lines are untrustworthy)."""
     blocks = sorted({int(P.block[i]) for i in order if P.block[i] >= 0})
     for b in blocks:
         lines: dict[int, list[int]] = {}
@@ -2493,38 +2500,76 @@ def find_lostspace(P: Page, order: list[int]) -> None:
         if len(kept) < 2:
             continue
         # drop deep indents (space_check.cpp:136-169)
-        x0 = min(axis[lines[ln][0]] for ln in kept)
-        kept = [ln for ln in kept if axis[lines[ln][0]] - x0 <= s0 * 2.5]
+        x0 = min(axis[lines[ln][0]] - size[lines[ln][0]] / 2 for ln in kept)
+        kept = [ln for ln in kept
+                if axis[lines[ln][0]] - size[lines[ln][0]] / 2 - x0 <= s0 * 2.5]
         if len(kept) < 2:
             continue
 
-        xs_fit: list[float] = []
-        ys_fit: list[float] = []
-        for ln in kept:
+        # amx walk: per-head margin estimate + indent classification
+        amx = [0.0] * len(kept)
+        head_indent = [False] * len(kept)
+        head_skip = [False] * len(kept)
+        delta = 0.0
+        prev_amx = 0.0
+        have_prev = False
+        fit_pts: list[tuple[float, float, int]] = []  # (cross, edge, ln-pos)
+        for pos, ln in enumerate(kept):
             lb = lines[ln]
-            if len(lb) < 2:
+            skip = len(lb) < 2
+            if not skip:
+                mx2 = (axis[lb[0]] + size[lb[0]] / 2 +
+                       axis[lb[1]] - size[lb[1]] / 2) / 2
+                mx2 = max(mx2, (axis[lb[0]] + axis[lb[1]]) / 2)
+                sx2 = mx2 - s0
+                # untrustworthy-head rejections (space_check.cpp:219-252)
+                if axis[lb[1]] - axis[lb[0]] > s0 * 1.15:
+                    skip = True
+                if size[lb[0]] + size[lb[1]] < s0 * 0.85:
+                    skip = True
+                if len(lb) == 3:
+                    span = axis[lb[2]] - axis[lb[0]]
+                    if span < s0 or span > s0 * 2.2:
+                        skip = True
+            if skip:
+                head_skip[pos] = True
+                if have_prev:
+                    amx[pos] = prev_amx + delta
                 continue
-            # the reference's skip conditions: irregular first-pair spacing
-            # or thin heads make a head untrustworthy (space_check.cpp:219-252)
-            if axis[lb[1]] - axis[lb[0]] > s0 * 1.15:
-                continue
-            if size[lb[0]] + size[lb[1]] < s0 * 0.85:
-                continue
-            if len(lb) == 3:
-                span = axis[lb[2]] - axis[lb[0]]
-                if span < s0 or span > s0 * 2.2:
-                    continue
-            head_indent = (P.subtype[lb[0]] & SUBTYPE_SPACE) == SUBTYPE_SPACE
-            mx2 = (axis[lb[0]] + size[lb[0]] / 2 +
-                   axis[lb[1]] - size[lb[1]] / 2) / 2
-            mx2 = max(mx2, (axis[lb[0]] + axis[lb[1]]) / 2)
-            sx2 = mx2 - s0
-            xs_fit.append(float(cross[lb[0]]))
-            ys_fit.append(float(sx2 if head_indent else mx2))
-        if len(xs_fit) < 2:
+            head_indent[pos] = \
+                (P.subtype[lb[0]] & SUBTYPE_SPACE) == SUBTYPE_SPACE
+            if have_prev:
+                fmx = prev_amx + delta
+                if mx2 < fmx and abs(fmx - mx2) > s0 * 0.25:
+                    head_skip[pos] = True
+                elif abs(fmx - mx2) < s0 * 0.6:
+                    head_indent[pos] = False
+                elif abs(fmx - s0 - mx2) < s0 * 0.6:
+                    head_indent[pos] = False
+                elif abs(fmx - sx2) < s0 * 0.6:
+                    head_indent[pos] = True
+                else:
+                    head_skip[pos] = True
+            if head_skip[pos]:
+                amx[pos] = prev_amx + delta if have_prev else 0.0
+            else:
+                amx[pos] = sx2 if head_indent[pos] else mx2
+                if have_prev and prev_amx != 0:
+                    delta = (amx[pos] - prev_amx) * 0.25 + delta * 0.75
+                prev_amx = amx[pos]
+                have_prev = True
+                # fit point: left edge for indented, right edge otherwise
+                # (both track margin + one glyph, space_check.cpp:625-636)
+                edge = (axis[lb[0]] - size[lb[0]] / 2 if head_indent[pos]
+                        else axis[lb[0]] + size[lb[0]] / 2)
+                fit_pts.append((float(cross[lb[0]]), float(edge), pos))
+
+        if len(fit_pts) < 2:
             continue
-        deg = min(3, len(xs_fit) - 1)
-        coeffs = np.polyfit(np.array(xs_fit), np.array(ys_fit), deg)
+        xs_fit = np.array([p[0] for p in fit_pts])
+        ys_fit = np.array([p[1] for p in fit_pts])
+        deg = min(3, len(fit_pts) - 1)
+        coeffs = np.polyfit(xs_fit, ys_fit, deg)
 
         for ln in kept:
             lb = lines[ln]

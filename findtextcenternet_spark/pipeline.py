@@ -14,9 +14,11 @@ repartitions in the raster leg whose hash partitioning the following
 groupBy reuses. Every other stage is narrow / Arrow-batched; decode
 batches windows across pages, so a page with many windows never serializes
 a stage. Skew: urls are unique, so hashing on the full url is the perfect
-case of salted domain repartition (tests/test_skew.py). Poison pills:
-``extract_documents_robust`` diverts structurally invalid pages to a
-quarantine frame instead of failing tasks.
+case of salted domain repartition (tests/test_skew.py). Poison pills are
+handled IN-PASS: every extraction kernel catches per-page failures and
+emits an ``error`` row (null for clean docs) — no separate validation
+probe, nothing parsed twice, and one malformed page out of 10^12 costs
+one quarantine row, never a task.
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ DETECT_SCHEMA = T.StructType([
     T.StructField("rx1", T.LongType()),
     T.StructField("rx2", T.LongType()),
     T.StructField("rv", T.DoubleType()),             # run cell value
+    T.StructField("error", T.StringType()),          # kind='err' rows
 ])
 
 # tokens/meta/tok_of travel as packed little-endian buffers, one binary
@@ -71,6 +74,7 @@ WINDOW_SCHEMA = T.StructType([
     T.StructField("keep_back", T.LongType()),
     T.StructField("tokens", T.BinaryType()),
     T.StructField("meta", T.BinaryType()),
+    T.StructField("error", T.StringType()),
 ])
 
 DECODED_SCHEMA = T.StructType([
@@ -80,6 +84,7 @@ DECODED_SCHEMA = T.StructType([
     T.StructField("pred", T.StringType()),
     T.StructField("tok_of", T.BinaryType()),
     T.StructField("meta", T.BinaryType()),
+    T.StructField("error", T.StringType()),
 ])
 
 SPAN_TYPE = T.StructType([
@@ -117,13 +122,20 @@ DOC_SCHEMA = T.StructType([
     T.StructField("lines", T.ArrayType(LINE_TYPE)),
     T.StructField("blocks", T.ArrayType(BLOCK_TYPE)),
     T.StructField("path", T.StringType()),
+    T.StructField("error", T.StringType()),   # null = extracted ok;
+    # non-null rows ARE the quarantine (poison pills never fail a task)
 ])
 
 # ---------------------------------------------------------------- stages
 
 
 def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one page per input row → box + run rows."""
+    """mapInPandas kernel: one page per input row → box + run rows.
+
+    Poison pills are caught HERE, in the same pass that parses the page —
+    a malformed layout becomes one kind='err' row that flows to a
+    quarantine doc, never a task failure and never a second validation
+    parse of the whole corpus."""
     from .operators.model_registry import get_detector_model
 
     get_detector_model()  # per-worker singleton; loads once, reused by
@@ -131,8 +143,20 @@ def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         out = []
         for url, html in zip(pdf["url"], pdf["html"]):
-            layout = parse_layout(bytes(html))
-            boxes, runs = detect_page(layout)
+            try:
+                layout = parse_layout(bytes(html))
+                boxes, runs = detect_page(layout)
+            except Exception as e:  # noqa: BLE001 — quarantine, never fail
+                out.append(pd.DataFrame([{
+                    "url": url, "kind": "err",
+                    "box_id": -1, "p": 0.0, "cx": 0.0, "cy": 0.0,
+                    "w": 0.0, "h": 0.0, "code1": 0.0, "code2": 0.0,
+                    "code4": 0.0, "code8": 0.0, "feature": None,
+                    "channel": None, "ry": -1, "rx1": -1, "rx2": -1,
+                    "rv": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                }]))
+                continue
             if not boxes.empty:
                 b = boxes.copy()
                 b.insert(0, "url", url)
@@ -142,6 +166,7 @@ def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 b["rx1"] = -1
                 b["rx2"] = -1
                 b["rv"] = 0.0
+                b["error"] = None
                 out.append(b)
             if not runs.empty:
                 r = pd.DataFrame({
@@ -155,6 +180,7 @@ def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "rx1": runs["x1"].astype("int64"),
                     "rx2": runs["x2"].astype("int64"),
                     "rv": runs["v"].astype("float64"),
+                    "error": None,
                 })
                 out.append(r)
         if out:
@@ -164,31 +190,42 @@ def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def _group_and_window(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas(url) kernel: group boxes into reading order, tokenize,
-    segment into decode windows."""
+    segment into decode windows. Error rows (from detect) and this
+    kernel's own failures pass through as error windows."""
     url = key[0]
-    boxes = pdf[pdf["kind"] == "box"][
-        ["box_id", "p", "cx", "cy", "w", "h",
-         "code1", "code2", "code4", "code8", "feature"]
-    ].sort_values("box_id").reset_index(drop=True)
-    runs = pd.DataFrame({
-        "channel": pdf.loc[pdf["kind"] == "run", "channel"],
-        "y": pdf.loc[pdf["kind"] == "run", "ry"],
-        "x1": pdf.loc[pdf["kind"] == "run", "rx1"],
-        "x2": pdf.loc[pdf["kind"] == "run", "rx2"],
-        "v": pdf.loc[pdf["kind"] == "run", "rv"],
-    }).sort_values(["channel", "y", "x1"]).reset_index(drop=True)
+    cols = ["url", "win_id", "keep_back", "tokens", "meta", "error"]
+    err = pdf.loc[pdf["kind"] == "err", "error"]
+    if len(err):
+        return pd.DataFrame([(url, -1, 0, None, None, err.iloc[0])],
+                            columns=cols)
+    try:
+        boxes = pdf[pdf["kind"] == "box"][
+            ["box_id", "p", "cx", "cy", "w", "h",
+             "code1", "code2", "code4", "code8", "feature"]
+        ].sort_values("box_id").reset_index(drop=True)
+        runs = pd.DataFrame({
+            "channel": pdf.loc[pdf["kind"] == "run", "channel"],
+            "y": pdf.loc[pdf["kind"] == "run", "ry"],
+            "x1": pdf.loc[pdf["kind"] == "run", "rx1"],
+            "x2": pdf.loc[pdf["kind"] == "run", "rx2"],
+            "v": pdf.loc[pdf["kind"] == "run", "rv"],
+        }).sort_values(["channel", "y", "x1"]).reset_index(drop=True)
 
-    ordered = group_page(boxes, runs)
-    tokens, meta = tokenize_page(ordered)
-    rows = []
-    for wi, (start, end, keep_back) in enumerate(segment_windows(tokens)):
-        rows.append((url, wi, keep_back,
-                     np.ascontiguousarray(tokens[start:end],
-                                          dtype=np.float32).tobytes(),
-                     np.ascontiguousarray(meta[start:end],
-                                          dtype=np.float64).tobytes()))
-    return pd.DataFrame(rows, columns=["url", "win_id", "keep_back",
-                                       "tokens", "meta"])
+        ordered = group_page(boxes, runs)
+        tokens, meta = tokenize_page(ordered)
+        rows = []
+        for wi, (start, end, keep_back) in enumerate(segment_windows(tokens)):
+            rows.append((url, wi, keep_back,
+                         np.ascontiguousarray(tokens[start:end],
+                                              dtype=np.float32).tobytes(),
+                         np.ascontiguousarray(meta[start:end],
+                                              dtype=np.float64).tobytes(),
+                         None))
+    except Exception as e:  # noqa: BLE001 — quarantine, never fail
+        return pd.DataFrame([(url, -1, 0, None, None,
+                              f"{type(e).__name__}: {e}"[:500])],
+                            columns=cols)
+    return pd.DataFrame(rows, columns=cols)
 
 
 def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -196,7 +233,12 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     enc_dim = FEATURE_DIM + 6
     for pdf in it:
         preds, toks = [], []
-        for tokens, meta in zip(pdf["tokens"], pdf["meta"]):
+        for tokens, meta, error in zip(pdf["tokens"], pdf["meta"],
+                                       pdf["error"]):
+            if error is not None or tokens is None:
+                preds.append(None)
+                toks.append(None)
+                continue
             tok = np.frombuffer(tokens, dtype=np.float32).reshape(-1, enc_dim)
             mt = np.frombuffer(meta, dtype=np.float64).reshape(-1, 9)
             pred, tok_of = expand_window(tok, mt)
@@ -206,24 +248,40 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({
             "url": pdf["url"], "win_id": pdf["win_id"],
             "keep_back": pdf["keep_back"], "pred": preds, "tok_of": toks,
-            "meta": pdf["meta"],
+            "meta": pdf["meta"], "error": pdf["error"],
         })
 
 
 def _assemble_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     url = key[0]
-    pdf = pdf.sort_values("win_id")
-    windows = [
-        {"pred": r.pred, "tok_of": np.frombuffer(r.tok_of, dtype=np.int64),
-         "meta": np.frombuffer(r.meta, dtype=np.float64).reshape(-1, 9),
-         "keep_back": int(r.keep_back)}
-        for r in pdf.itertuples()
-    ]
-    rec = assemble_page(windows)
+    err = pdf["error"].dropna()
+    if len(err):
+        return pd.DataFrame([{
+            "url": url, "text": None, "aozora": None, "noruby": None,
+            "spans": None, "lines": None, "blocks": None,
+            "path": "raster", "error": err.iloc[0],
+        }])
+    try:
+        pdf = pdf.sort_values("win_id")
+        windows = [
+            {"pred": r.pred,
+             "tok_of": np.frombuffer(r.tok_of, dtype=np.int64),
+             "meta": np.frombuffer(r.meta, dtype=np.float64).reshape(-1, 9),
+             "keep_back": int(r.keep_back)}
+            for r in pdf.itertuples()
+        ]
+        rec = assemble_page(windows)
+    except Exception as e:  # noqa: BLE001 — quarantine, never fail
+        return pd.DataFrame([{
+            "url": url, "text": None, "aozora": None, "noruby": None,
+            "spans": None, "lines": None, "blocks": None,
+            "path": "raster", "error": f"{type(e).__name__}: {e}"[:500],
+        }])
     return pd.DataFrame([{
         "url": url, "text": rec["text"], "aozora": rec["aozora"],
         "noruby": rec["noruby"], "spans": rec["spans"],
         "lines": rec["lines"], "blocks": rec["blocks"], "path": "raster",
+        "error": None,
     }])
 
 
@@ -235,11 +293,48 @@ def extract_html_udf(html: pd.Series) -> pd.Series:
     return extract_main_text_series(html)
 
 
-@F.pandas_udf(T.StringType())
-def extract_pdf_udf(blob: pd.Series) -> pd.Series:
-    from .operators.pdf import extract_pdf_series
+# explicit StructType: a DDL-string returnType would be parsed at import
+# time and require an active SparkContext
+_EXTRACT_STRUCT = T.StructType([
+    T.StructField("text", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
 
-    return extract_pdf_series(blob)
+
+@F.pandas_udf(_EXTRACT_STRUCT)
+def extract_html_robust_udf(html: pd.Series) -> pd.DataFrame:
+    """Vectorized batch with a per-row fallback: the whole-batch kernel
+    runs once; only if it throws does the batch retry row-at-a-time so one
+    poison page costs one error row, not the batch."""
+    try:
+        return pd.DataFrame({"text": extract_main_text_series(html),
+                             "error": None})
+    except Exception:  # noqa: BLE001 — isolate the poison row
+        texts, errs = [], []
+        for b in html:
+            try:
+                texts.append(extract_main_text_series(
+                    pd.Series([b])).iloc[0])
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001
+                texts.append(None)
+                errs.append(f"{type(e).__name__}: {e}"[:500])
+        return pd.DataFrame({"text": texts, "error": errs})
+
+
+@F.pandas_udf(_EXTRACT_STRUCT)
+def extract_pdf_udf(blob: pd.Series) -> pd.DataFrame:
+    from .operators.pdf import extract_pdf_text
+
+    texts, errs = [], []
+    for b in blob:
+        try:
+            texts.append(extract_pdf_text(bytes(b)))
+            errs.append(None)
+        except Exception as e:  # noqa: BLE001 — quarantine, never fail
+            texts.append(None)
+            errs.append(f"{type(e).__name__}: {e}"[:500])
+    return pd.DataFrame({"text": texts, "error": errs})
 
 
 def is_raster_col():
@@ -253,40 +348,40 @@ def is_pdf_col():
 
 def extract_pdf_path(pages: DataFrame) -> DataFrame:
     """The PDF leg: text-layer parse, one vectorized UDF, fully narrow
-    (operators/pdf.py; north rule 'PDF/layout parse')."""
-    txt = extract_pdf_udf(F.col("html"))
+    (operators/pdf.py; north rule 'PDF/layout parse'). Parse failures
+    become error rows in the same pass."""
     return (
         pages.filter(is_pdf_col())
-        .select("url", txt.alias("text"))
+        .select("url", extract_pdf_udf(F.col("html")).alias("r"))
         .select(
-            "url", "text",
-            decode_ruby_col(F.col("text"), "aozora").alias("aozora"),
-            decode_ruby_col(F.col("text"), "noruby").alias("noruby"),
+            "url", F.col("r.text").alias("text"),
+            decode_ruby_col(F.col("r.text"), "aozora").alias("aozora"),
+            decode_ruby_col(F.col("r.text"), "noruby").alias("noruby"),
             F.array().cast(T.ArrayType(SPAN_TYPE)).alias("spans"),
             F.array().cast(T.ArrayType(LINE_TYPE)).alias("lines"),
             F.array().cast(T.ArrayType(BLOCK_TYPE)).alias("blocks"),
             F.lit("pdf").alias("path"),
+            F.col("r.error").alias("error"),
         )
     )
 
 
 def extract_html_path(pages: DataFrame) -> DataFrame:
-    """The pure-HTML leg: one vectorized UDF, fully narrow."""
-    txt = extract_html_udf(F.col("html"))
+    """The pure-HTML leg: one vectorized UDF, fully narrow. Charset
+    detection (utf-8/cp932/latin-1) happens inside the kernel; failures
+    become error rows in the same pass."""
     return (
         pages.filter(~is_raster_col() & ~is_pdf_col())
+        .select("url", extract_html_robust_udf(F.col("html")).alias("r"))
         .select(
-            "url",
-            txt.alias("text"),
-        )
-        .select(
-            "url", "text",
-            decode_ruby_col(F.col("text"), "aozora").alias("aozora"),
-            decode_ruby_col(F.col("text"), "noruby").alias("noruby"),
+            "url", F.col("r.text").alias("text"),
+            decode_ruby_col(F.col("r.text"), "aozora").alias("aozora"),
+            decode_ruby_col(F.col("r.text"), "noruby").alias("noruby"),
             F.array().cast(T.ArrayType(SPAN_TYPE)).alias("spans"),
             F.array().cast(T.ArrayType(LINE_TYPE)).alias("lines"),
             F.array().cast(T.ArrayType(BLOCK_TYPE)).alias("blocks"),
             F.lit("html").alias("path"),
+            F.col("r.error").alias("error"),
         )
     )
 
@@ -356,66 +451,21 @@ def extract_documents(pages: DataFrame,
             .unionByName(extract_raster_path(pages, num_partitions)))
 
 
-VALIDATED_SCHEMA = T.StructType([
-    T.StructField("url", T.StringType()),
-    T.StructField("ok", T.BooleanType()),
-    T.StructField("error", T.StringType()),
-])
-
-
-def _validate_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Cheap structural probe per page — the full parse each leg will do,
-    run under try/except so a poisoned page becomes a quarantine row
-    instead of a task (and with 4 retries, job) failure."""
-    from .operators.pdf import PDF_MAGIC, extract_pdf_text
-
-    for pdf in it:
-        oks, errs = [], []
-        for html in pdf["html"]:
-            b = bytes(html)
-            try:
-                if b.startswith(RASTER_MARKER):
-                    layout = parse_layout(b)
-                    # required keys; glyph records must be well-formed
-                    _ = (layout["page_w"], layout["page_h"],
-                         layout["glyphs"], layout["textlines"])
-                    for g in layout["glyphs"][:4096]:
-                        _ = (g["cx"], g["cy"], g["w"], g["h"], g["cp"])
-                elif b.startswith(PDF_MAGIC):
-                    extract_pdf_text(b)
-                else:
-                    b.decode("utf-8", errors="strict")
-                oks.append(True)
-                errs.append(None)
-            except Exception as e:  # noqa: BLE001 — quarantine, never fail
-                oks.append(False)
-                errs.append(f"{type(e).__name__}: {e}"[:500])
-        yield pd.DataFrame({"url": pdf["url"], "ok": oks, "error": errs})
-
-
-def validate_pages(pages: DataFrame) -> DataFrame:
-    """(url, ok, error) verdict per page; narrow, Arrow-batched."""
-    return pages.select("url", "html").mapInPandas(_validate_batches,
-                                                   VALIDATED_SCHEMA)
-
-
 def extract_documents_robust(pages: DataFrame,
                              num_partitions: int | None = None,
                              ) -> tuple[DataFrame, DataFrame]:
     """Poison-pill-safe extraction for unbounded corpora.
 
-    Returns (docs, quarantine): pages failing the structural probe are
-    diverted to the quarantine frame (url + error) and the pipeline runs
-    only on validated pages — one malformed document out of 10^12 must
-    cost one quarantine row, not a job."""
-    pages = spread_pages(pages, num_partitions)
-    verdict = validate_pages(pages)
-    good = pages.join(verdict.filter(F.col("ok")).select("url"),
-                      "url", "left_semi")
-    quarantine = verdict.filter(~F.col("ok")).select("url", "error")
-    docs = (extract_html_path(good)
-            .unionByName(extract_pdf_path(good))
-            .unionByName(extract_raster_path(good, num_partitions)))
+    Every leg now handles its own failures IN-PASS (try/except inside the
+    extraction kernels, emitting error rows) — no separate validation
+    probe, so nothing is parsed twice. Returns (docs, quarantine) views
+    over the one combined frame; callers that materialize both should
+    write the combined ``extract_documents`` output once (lineage.py does)
+    instead of executing each view separately."""
+    combined = extract_documents(pages, num_partitions)
+    docs = combined.filter(F.col("error").isNull()).drop("error")
+    quarantine = (combined.filter(F.col("error").isNotNull())
+                  .select("url", "error"))
     return docs, quarantine
 
 

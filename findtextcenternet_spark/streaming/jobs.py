@@ -56,17 +56,22 @@ def stream_extract_html(spark: SparkSession, input_dir: str,
     micro-batch runs the FULL batch pipeline via foreachBatch (grouped-map
     stages are batch-only, so the stream hands each micro-batch to the
     batch planner — the standard escape hatch for heavy multi-shuffle work
-    inside a stream). Restart-with-same-checkpoint resumes after the last
-    committed batch: exactly-once file output via the sink's commit log.
+    inside a stream). Exactly-once: the native file sink uses its commit
+    log; the foreachBatch path writes each micro-batch into its own
+    ``batch_id=<id>`` partition directory with overwrite, so a replayed
+    batch (restart after a mid-batch crash) overwrites its own output
+    instead of duplicating it — idempotent, hence effectively-once.
     """
     from ..pipeline import extract_documents, extract_html_path
 
     pages = read_pages_stream(spark, input_dir)
     if include_raster:
+        import os
+
         def _process(batch_df: DataFrame, batch_id: int) -> None:
             (extract_documents(batch_df)
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_dir))
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
 
         return (pages.writeStream.foreachBatch(_process)
                 .option("checkpointLocation", checkpoint_dir)

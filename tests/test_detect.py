@@ -75,9 +75,12 @@ def test_detect_recovers_every_glyph():
     for row in rast.itertuples():
         layout = parse_layout(bytes(row.html))
         boxes, runs = detect_page(layout)
-        assert len(boxes) == len(layout["glyphs"]), row.url
+        # every REAL glyph recovered; low-contrast decoys are P6-dropped
+        real = [g for g in layout["glyphs"]
+                if g.get("contrast", 1.0) >= 0.5]
+        assert len(boxes) == len(real), row.url
         got = set(zip(boxes.cx.astype(int), boxes.cy.astype(int)))
-        want = {(int(g["cx"]), int(g["cy"])) for g in layout["glyphs"]}
+        want = {(int(g["cx"]), int(g["cy"])) for g in real}
         assert got == want
         assert (runs["channel"] == "line").sum() > 0
 

@@ -61,9 +61,43 @@ def test_series_kernel_matches_scalar_on_corpus():
     pdf = generate_pages(60)
     html_docs = pdf[~pdf.lang.str.startswith("raster:")
                 & ~pdf.lang.str.startswith("pdf:")]
+    from findtextcenternet_spark.functions.html_extract import (
+        decode_page_bytes,
+    )
     got = extract_main_text_series(html_docs.html)
     want = pd.Series(
-        [extract_main_text(b.decode()) for b in html_docs.html],
+        [extract_main_text(decode_page_bytes(b)) for b in html_docs.html],
         index=html_docs.index)
     assert (got == want).all()
     assert (got == html_docs.text).all()
+
+
+def test_decode_page_bytes_charsets():
+    from findtextcenternet_spark.functions.html_extract import (
+        decode_page_bytes,
+    )
+    # declared shift_jis honored
+    b = ('<html><head><meta charset="shift_jis"></head>'
+         '<div class="main_text">あい</div></html>').encode("cp932")
+    assert "あい" in decode_page_bytes(b)
+    # undeclared cp932 still decodes (utf-8 strict fails first)
+    b2 = '<div class="main_text">漢字かな</div>'.encode("cp932")
+    assert "漢字かな" in decode_page_bytes(b2)
+    # plain utf-8 unaffected
+    assert decode_page_bytes("abcあ".encode()) == "abcあ"
+    # arbitrary binary never raises (latin-1 total fallback)
+    assert isinstance(decode_page_bytes(b"\xff\xfe\x00junk"), str)
+
+
+def test_cp932_page_extracts_byte_exact():
+    import numpy as np
+
+    from findtextcenternet_spark.corpus import generate_pages
+    from findtextcenternet_spark.golden import extract_page_golden
+    pdf = generate_pages(300)
+    cp932 = [r for r in pdf.itertuples()
+             if b'charset="shift_jis"' in bytes(r.html)[:400]]
+    assert len(cp932) >= 3
+    for row in cp932:
+        rec = extract_page_golden(row.url, bytes(row.html))
+        assert rec["text"] == row.text

@@ -51,7 +51,8 @@ def test_lineage_rows_cover_all_docs(spark, tmp_path):
 
 def test_poison_pages_quarantined_not_fatal(spark, tmp_path):
     """One corrupt page in the batch must cost one quarantine row — never
-    the job (at 10^12 docs a poison pill is a certainty)."""
+    the job (at 10^12 docs a poison pill is a certainty); and it is
+    quarantined exactly ONCE per output dir, not re-parsed every resume."""
     import pandas as pd
 
     from findtextcenternet_spark.corpus import RASTER_MARKER
@@ -63,9 +64,10 @@ def test_poison_pages_quarantined_not_fatal(spark, tmp_path):
          "warc_ts": generate_pandas["warc_ts"].iloc[0],
          "html": RASTER_MARKER + b'{"page_w": 768, "glyphs": [{',
          "text": "", "lang": "raster:xx"},
-        {"url": "https://bad.example.org/bad-utf8-html",
+        {"url": "https://bad.example.org/compressed-pdf",
          "warc_ts": generate_pandas["warc_ts"].iloc[0],
-         "html": b"<html>\xff\xfe broken</html>",
+         "html": b"%PDF-1.4\n1 0 obj << /Filter /FlateDecode >>\n"
+         b"stream\nxxxx\nendstream\n",
          "text": "", "lang": "en"},
     ])
     pages = pages_from_pandas(
@@ -75,10 +77,33 @@ def test_poison_pages_quarantined_not_fatal(spark, tmp_path):
     assert r["n_quarantined"] == 2
     q = spark.read.parquet(out_dir + "/_quarantine").toPandas()
     assert set(q["url"]) == {"https://bad.example.org/truncated-layout",
-                             "https://bad.example.org/bad-utf8-html"}
+                             "https://bad.example.org/compressed-pdf"}
     assert q["error"].str.len().min() > 0
-    # and the quarantined urls are NOT retried forever: a resume run sees
-    # them as still-not-done but re-quarantines without failing
+    # quarantined urls are settled: a resume run does NOT re-parse or
+    # re-quarantine them (poison handled exactly once per output dir)
     r2 = run_extract(pages, out_dir, run_id="q2", num_partitions=4)
     assert r2["n_docs"] == 0
-    assert r2["n_quarantined"] == 2
+    assert r2["n_quarantined"] == 0
+    q2 = spark.read.parquet(out_dir + "/_quarantine")
+    assert q2.count() == 2
+
+
+def test_binary_junk_html_extracts_empty_not_fatal(spark, tmp_path):
+    """Non-UTF-8 bytes on the HTML leg are NOT poison: charset fallback
+    (utf-8 → cp932 → latin-1) decodes them and extraction yields empty
+    text (no main div) — a no-content doc, not a quarantine row."""
+    import pandas as pd
+
+    out_dir = str(tmp_path / "extracted4")
+    good = generate_pages(10)
+    junk = pd.DataFrame([
+        {"url": "https://odd.example.org/bin",
+         "warc_ts": good["warc_ts"].iloc[0],
+         "html": b"<html>\xff\xfe broken</html>",
+         "text": "", "lang": "en"},
+    ])
+    pages = pages_from_pandas(spark, pd.concat([good, junk],
+                                               ignore_index=True))
+    r = run_extract(pages, out_dir, run_id="j1", num_partitions=4)
+    assert r["n_docs"] == 11
+    assert r["n_quarantined"] == 0
