@@ -268,6 +268,17 @@ def cluster_dist(hist: np.ndarray) -> float:
     return float(dist1)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
+def _contrast_score_cached(n: int, ink: int) -> float:
+    hist = np.zeros(256, dtype=np.int64)
+    hist[255] += n - n // 2
+    hist[ink] += n // 2
+    return cluster_dist(hist)
+
+
 def contrast_score(w: float, h: float, contrast: float) -> float:
     """imageHist for the surrogate: a box's pixel window is a two-tone
     patch (background 255, ink 255 - contrast*230 covering half the area)
@@ -277,10 +288,7 @@ def contrast_score(w: float, h: float, contrast: float) -> float:
     synthetic here."""
     n = max(2, int(w * h))
     ink = min(255, max(0, int(round(255 - contrast * 230.0))))
-    hist = np.zeros(256, dtype=np.int64)
-    hist[255] += n - n // 2
-    hist[ink] += n // 2
-    return cluster_dist(hist)
+    return _contrast_score_cached(n, ink)
 
 
 def greedy_nms(boxes: np.ndarray, hists: np.ndarray | None = None,

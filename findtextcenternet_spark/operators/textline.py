@@ -246,6 +246,41 @@ def make_lineblocker(P: Page) -> None:
 
 # ---------------------------------------------------------------- linefind
 
+def _detect_line_fast(P: Page, on_mask: np.ndarray
+                      ) -> tuple[np.ndarray, int]:
+    """5x5-neighborhood components as run-length union-find — valid only
+    when no blocker cell sits within the 5x5 reach of any line cell (the
+    common page: separators live in block gaps, far from the lines).
+    Components get ids in row-major first-cell order, matching the
+    descending-value scan for our binary line maps."""
+    runs = _runs_of_mask(on_mask)
+    n = len(runs)
+    labels = np.full(on_mask.shape, -1, dtype=np.int64)
+    if n == 0:
+        return labels, 0
+    uf = _UnionFind(n)
+    row_runs: dict[int, list[int]] = {}
+    for i, (y, _x1, _x2) in enumerate(runs):
+        row_runs.setdefault(y, []).append(i)
+    for i, (y, x1, x2) in enumerate(runs):
+        for dy in (0, 1, 2):
+            for j in row_runs.get(y + dy, ()):
+                if dy == 0 and j <= i:
+                    continue
+                jy, jx1, jx2 = runs[j]
+                if jx1 > x2 + 2:
+                    break
+                if jx2 >= x1 - 2:
+                    uf.union(i, j)
+    remap: dict[int, int] = {}
+    for i, (y, x1, x2) in enumerate(runs):
+        r = uf.find(i)
+        if r not in remap:
+            remap[r] = len(remap)
+        labels[y, x1:x2 + 1] = remap[r]
+    return labels, len(remap)
+
+
 def detect_line(P: Page) -> tuple[np.ndarray, int]:
     """Textline components (hough_linefind.cpp:200-255): flood fill with a
     5x5 neighborhood from cells in descending lineimage order, a blocker
@@ -255,6 +290,25 @@ def detect_line(P: Page) -> tuple[np.ndarray, int]:
     on = np.nonzero(P.lineimage.ravel() >= LINE_VALUETH)[0]
     if len(on) == 0:
         return lineid_map, 0
+
+    # fast path: if no blocker is within the 5x5 reach of any line cell,
+    # the blocker-barrier rule can never fire — use run-length union-find
+    on_mask = P.lineimage >= LINE_VALUETH
+    if P.lineblocker.any():
+        near = np.zeros((H, W), dtype=bool)
+        b = P.lineblocker
+        for dy in (-2, -1, 0, 1, 2):
+            ys_lo, ys_hi = max(0, dy), H + min(0, dy)
+            yd_lo, yd_hi = max(0, -dy), H + min(0, -dy)
+            for dx in (-2, -1, 0, 1, 2):
+                xs_lo, xs_hi = max(0, dx), W + min(0, dx)
+                xd_lo, xd_hi = max(0, -dx), W + min(0, -dx)
+                near[yd_lo:yd_hi, xd_lo:xd_hi] |= b[ys_lo:ys_hi, xs_lo:xs_hi]
+        clear = not (near & on_mask).any()
+    else:
+        clear = True
+    if clear:
+        return _detect_line_fast(P, on_mask)
     # descending value, index asc on ties (stable — canonicalizes the
     # unstable std::sort at hough_linefind.cpp:208)
     vals = P.lineimage.ravel()[on]
@@ -533,6 +587,7 @@ def make_track_line(P: Page, chains: list[list[int]], chainid: int,
     w, h) in pixel coords; extra_len extends past both ends (ruby probe)."""
     sel, direction, w, h, s_cx, s_cy, e_cx, e_cy = \
         find_linecenter_id(P, chains, chainid)
+    sel_set = set(sel)
     xs: list[int] = []
     ys: list[int] = []
     if abs(direction) < M_PI_4:
@@ -548,7 +603,7 @@ def make_track_line(P: Page, chains: list[list[int]], chainid: int,
         for boxid in chains[chainid]:
             if P.is_ruby(boxid):
                 continue
-            if boxid in sel:
+            if boxid in sel_set:
                 track = (track + P.cy[boxid]) / 2
             xi.append(P.cx[boxid])
             yi.append(track)
@@ -613,7 +668,7 @@ def make_track_line(P: Page, chains: list[list[int]], chainid: int,
         for boxid in chains[chainid]:
             if P.is_ruby(boxid):
                 continue
-            if boxid in sel:
+            if boxid in sel_set:
                 track = (track + P.cx[boxid]) / 2
             xi.append(track)
             yi.append(P.cy[boxid])
@@ -680,26 +735,31 @@ def create_chainid_map(P: Page, chains: list[list[int]], ratio: float = 1.0,
             continue
         xs, ys, direction, w, h = make_track_line(P, chains, chainid,
                                                   extra_len)
+        if not xs:
+            continue
         s_s = max(w, h)
         band = int(s_s / 3 / SCALE * ratio)
+        # vectorized band fill: one fancy assignment per band offset
+        # (duplicate indices within one chain write the same value, so
+        # last-wins fancy indexing is equivalent to the scalar loop)
+        xa = np.asarray(xs, dtype=np.int64) // SCALE
+        ya = np.asarray(ys, dtype=np.int64) // SCALE
+        inb = (xa >= 0) & (xa < P.W) & (ya >= 0) & (ya < P.H)
+        xa, ya = xa[inb], ya[inb]
         if abs(direction) < M_PI_4:
-            for xp, yp in zip(xs, ys):
-                xi, yi = xp // SCALE, yp // SCALE
-                if not (0 <= xi < P.W and 0 <= yi < P.H):
-                    continue
-                lo = max(0, yi - band)
-                hi = min(P.H, yi + band)
-                col = cmap[lo:hi, xi]
-                col[col < 0] = chainid
+            for dy in range(-band, band):
+                yy = ya + dy
+                m = (yy >= 0) & (yy < P.H)
+                sel_y, sel_x = yy[m], xa[m]
+                free = cmap[sel_y, sel_x] < 0
+                cmap[sel_y[free], sel_x[free]] = chainid
         else:
-            for xp, yp in zip(xs, ys):
-                xi, yi = xp // SCALE, yp // SCALE
-                if not (0 <= xi < P.W and 0 <= yi < P.H):
-                    continue
-                lo = max(0, xi - band)
-                hi = min(P.W, xi + band)
-                row = cmap[yi, lo:hi]
-                row[row < 0] = chainid
+            for dx in range(-band, band):
+                xx = xa + dx
+                m = (xx >= 0) & (xx < P.W)
+                sel_y, sel_x = ya[m], xx[m]
+                free = cmap[sel_y, sel_x] < 0
+                cmap[sel_y[free], sel_x[free]] = chainid
     for chainid, chain in enumerate(chains):
         for boxid in chain:
             if P.is_ruby(boxid):
@@ -978,9 +1038,13 @@ def fix_unbined(P: Page, chains: list[list[int]]) -> bool:
                    if i not in chained and not P.is_ruby(i)]
         success = 0
         it = 0
+        cmap = None  # rebuilt lazily: the map only changes after an attach
+        # (the reference rebuilds per box, search_loop.cpp:938 — identical
+        # result, attaches are the only mutation between rebuilds)
         while it < len(unbined):
             boxid = unbined[it]
-            cmap = create_chainid_map(P, chains)
+            if cmap is None:
+                cmap = create_chainid_map(P, chains)
             cx, cy = P.cx[boxid], P.cy[boxid]
             w2, h2 = P.w[boxid] / 2, P.h[boxid] / 2
             probes = [
@@ -1004,6 +1068,7 @@ def fix_unbined(P: Page, chains: list[list[int]]) -> bool:
                     attached = True
                     break
             if attached:
+                cmap = None
                 continue
 
             def _directional(horiz_first: bool, sign: int) -> bool:
@@ -1059,6 +1124,7 @@ def fix_unbined(P: Page, chains: list[list[int]]) -> bool:
                     _directional(False, +1) or _directional(False, -1):
                 success += 1
                 del unbined[it]
+                cmap = None
                 continue
             it += 1
         if success == 0:
@@ -2023,8 +2089,13 @@ def process_line(P: Page, id_max: int, chains: list[list[int]],
                 continue
             a = (cy2 - cy1) / (cx2 - cx1)
 
-            for x_iter in (range(int((cx1 + cx2) / 2), int(cx2 + s_s)),
-                           range(int((cx1 + cx2) / 2), int(cx1 - s_s), -1)):
+            # cell-stride scan: the reference steps per PIXEL
+            # (make_block.cpp:67,91) but every probe is a cell lookup, so
+            # SCALE consecutive steps repeat the same column — stepping by
+            # SCALE is the same column sequence
+            for x_iter in (range(int((cx1 + cx2) / 2), int(cx2 + s_s), SCALE),
+                           range(int((cx1 + cx2) / 2), int(cx1 - s_s),
+                                 -SCALE)):
                 for x in x_iter:
                     y = a * (x - cx1) + cy1
                     xi, yi = int(x / SCALE), int(y / SCALE)
@@ -2067,8 +2138,9 @@ def process_line(P: Page, id_max: int, chains: list[list[int]],
                 continue
             a = (cx2 - cx1) / (cy2 - cy1)
 
-            for y_iter in (range(int((cy1 + cy2) / 2), int(cy2 + s_s)),
-                           range(int((cy1 + cy2) / 2), int(cy1 - s_s), -1)):
+            for y_iter in (range(int((cy1 + cy2) / 2), int(cy2 + s_s), SCALE),
+                           range(int((cy1 + cy2) / 2), int(cy1 - s_s),
+                                 -SCALE)):
                 for y in y_iter:
                     x = a * (y - cy1) + cx1
                     xi, yi = int(x / SCALE), int(y / SCALE)

@@ -74,9 +74,13 @@ def run_mix(cache: str, zpath: str, tag: str, n_docs: int,
     the shared host (GC state, page cache, background load) hit both sides
     equally instead of landing on whichever leg ran in the bad window.
     """
-    pages_path = os.path.join(cache, f"pages_{tag}_{n_docs}.parquet")
+    from findtextcenternet_spark.corpus import (
+        CORPUS_VERSION,
+        write_pages_parquet,
+    )
+    pages_path = os.path.join(
+        cache, f"pages_{tag}_v{CORPUS_VERSION}_{n_docs}.parquet")
     if not os.path.exists(pages_path):
-        from findtextcenternet_spark.corpus import write_pages_parquet
         write_pages_parquet(pages_path, n_docs,
                             raster_frac=raster_frac, pdf_frac=pdf_frac)
     runs: dict[int, list[dict]] = {core_pair[0]: [], core_pair[1]: []}
