@@ -16,6 +16,21 @@ canonicalization inline. Coordinates: boxes in pixels, raster maps in
 heatmap cells (SCALE=4 px/cell), exactly like the reference binary
 protocol (main.cpp:100-131).
 
+Documented divergences (each deliberate, none observable on clean pages):
+* combine_chains head-probe EMA: the reference's fold variable reads its
+  own anchor every step (``end_cy1 = 0.25*end_cy0 + 0.75*cy`` at
+  search_loop.cpp:670, same at :810 — a fold-variable typo); this port
+  folds the candidate chain's values, the evident intent (the tail
+  probes, :725 and :862, fold correctly and are ported as-is).
+* chain_line_force (after_search.cpp:81-225) is a no-op at the
+  reference's default ``chain_line_ratio = 0.0`` (main.cpp:28) and is not
+  ported.
+* renumber_id's section machinery (make_block.cpp:580-1359) is
+  re-expressed as transitive interval-overlap column clustering plus the
+  geometric chain reorder — identical observable reading order for
+  rectangular column layouts; the reference's table-vs-columns heuristic
+  (:906-980) is out of scope.
+
 Scale note: this runs inside ``applyInPandas(url)`` — one page per group,
 pages never cross executors, so the stage is embarrassingly parallel and
 its cost is O(page) regardless of corpus size.

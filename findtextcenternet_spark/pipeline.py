@@ -1,19 +1,17 @@
 """End-to-end Spark extraction pipeline (SURVEY.md §3.1 lifecycle).
 
-    pages ──┬─ html path:   pandas_udf extract_html            (narrow)
-            ├─ pdf path:    pandas_udf extract_pdf             (narrow)
-            └─ raster path: mapInPandas(detect)                (narrow)
-                            → applyInPandas(url)(group+window) (shuffle 1)
-                            → mapInPandas(decode)              (narrow)
-                            → applyInPandas(url)(assemble)     (shuffle 2)
+    pages ──┬─ html path:   pandas_udf extract_html              (narrow)
+            ├─ pdf path:    pandas_udf extract_pdf               (narrow)
+            └─ raster path: mapInPandas(detect→group→decode→asm) (narrow)
             → unionByName → extracted docs
 
-Shuffle budget: one input spread (``spread_pages``, hash on url — shared
-by all three legs via exchange/stage reuse) plus two grouped-stage
-repartitions in the raster leg whose hash partitioning the following
-groupBy reuses. Every other stage is narrow / Arrow-batched; decode
-batches windows across pages, so a page with many windows never serializes
-a stage. Skew: urls are unique, so hashing on the full url is the perfect
+Shuffle budget: ONE shuffle total — the input spread (``spread_pages``,
+hash on url, shared by all three legs via exchange/stage reuse). Every
+extraction stage is page-local, so the raster chain fuses into a single
+narrow mapInPandas (zero exchanges); ``extract_raster_path(staged=True)``
+keeps the two-exchange detect/group/decode/assemble split for
+heterogeneous clusters (GPU detect executors) — see its docstring for the
+measured scaling rationale. Skew: urls are unique, so hashing on the full url is the perfect
 case of salted domain repartition (tests/test_skew.py). Poison pills are
 handled IN-PASS: every extraction kernel catches per-page failures and
 emits an ``error`` row (null for clean docs) — no separate validation
@@ -395,21 +393,76 @@ def _parallelism(df: DataFrame, num_partitions: int | None) -> int:
     return df.sparkSession.sparkContext.defaultParallelism * 4
 
 
-def extract_raster_path(pages: DataFrame,
-                        num_partitions: int | None = None) -> DataFrame:
-    """The raster leg: detect → group/window → decode → assemble.
+def _raster_fused_batches(it: Iterator[pd.DataFrame]
+                          ) -> Iterator[pd.DataFrame]:
+    """Fused raster kernel: detect → group → window → decode → assemble
+    for each page inside ONE mapInPandas — the same per-page kernels as
+    the staged path (and the golden reference), so output parity is by
+    construction. Poison pages become error rows in the same pass."""
+    from .golden import extract_raster_page
+    from .operators.model_registry import get_detector_model
 
-    Each grouped stage is fed by an EXPLICIT ``repartition(n, url)``: the
-    groupBy reuses that exchange (hash partitioning on the grouping key
-    already satisfies the required clustering, so no second shuffle), and a
-    user-specified partition count is exempt from AQE partition coalescing.
-    That matters because these stages are Python-CPU-bound, not
-    shuffle-byte-bound — AQE's 64 MB advisory target would coalesce them to
-    a handful of partitions and serialize the NumPy kernels (measured 2.3×
+    get_detector_model()  # per-worker singleton (real weights slot in)
+    doc_cols = [f.name for f in DOC_SCHEMA.fields]
+    for pdf in it:
+        recs = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            try:
+                rec = extract_raster_page(bytes(html))
+                recs.append({
+                    "url": url, "text": rec["text"],
+                    "aozora": rec["aozora"], "noruby": rec["noruby"],
+                    "spans": rec["spans"], "lines": rec["lines"],
+                    "blocks": rec["blocks"], "path": "raster",
+                    "error": None,
+                })
+            except Exception as e:  # noqa: BLE001 — quarantine, never fail
+                recs.append({
+                    "url": url, "text": None, "aozora": None,
+                    "noruby": None, "spans": None, "lines": None,
+                    "blocks": None, "path": "raster",
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                })
+        if recs:
+            yield pd.DataFrame(recs)[doc_cols]
+
+
+def extract_raster_path(pages: DataFrame,
+                        num_partitions: int | None = None,
+                        staged: bool = False) -> DataFrame:
+    """The raster leg.
+
+    Default (``staged=False``): ONE narrow mapInPandas running the whole
+    detect → group/window → decode → assemble chain per page — zero
+    shuffles. Every stage is page-local, so when detect and group run on
+    the same resource type there is nothing to exchange; fusing removes
+    two shuffles and four Arrow crossings per document. Measured at 9000
+    all-raster docs: the staged path's 2→8-core scaling efficiency is
+    ~0.68 (per-worker Arrow/shuffle overhead grows with concurrency in
+    one JVM) while the same kernels in plain processes scale at ~0.91
+    (scripts/mp_control.py) — fusion puts the Spark path back on the
+    process-scaling curve, and at 100 TB two fewer shuffles of the box
+    stream is strictly less cluster work.
+
+    ``staged=True`` keeps the two-exchange architecture — detect
+    (mapInPandas) → repartition(url) → group/window (applyInPandas) →
+    decode (mapInPandas, batched ACROSS pages) → repartition(url) →
+    assemble — for heterogeneous clusters where the detector runs on GPU
+    executors and grouping on CPU executors, or where single giant pages
+    would serialize a fused task. Each grouped stage is fed by an
+    EXPLICIT ``repartition(n, url)``: the groupBy reuses that exchange,
+    and a user-specified partition count is exempt from AQE partition
+    coalescing (AQE's 64 MB advisory target would coalesce these
+    Python-CPU-bound stages to a handful of partitions — measured 2.3×
     slowdown at local[32]).
+
+    Both paths produce byte-identical output (tests/test_pipeline_spark.py
+    fused-vs-staged parity).
     """
-    n = _parallelism(pages, num_partitions)
     raster = pages.filter(is_raster_col()).select("url", "html")
+    if not staged:
+        return raster.mapInPandas(_raster_fused_batches, DOC_SCHEMA)
+    n = _parallelism(pages, num_partitions)
     detected = raster.mapInPandas(_detect_batches, DETECT_SCHEMA)
     windows = (detected.repartition(n, F.col("url"))
                .groupBy("url").applyInPandas(_group_and_window,
@@ -443,12 +496,15 @@ def spread_pages(pages: DataFrame, num_partitions: int | None = None,
 
 
 def extract_documents(pages: DataFrame,
-                      num_partitions: int | None = None) -> DataFrame:
-    """Full extraction: all legs, one output table."""
+                      num_partitions: int | None = None,
+                      staged: bool = False) -> DataFrame:
+    """Full extraction: all legs, one output table (``error`` column null
+    for clean docs — non-null rows are the in-pass quarantine)."""
     pages = spread_pages(pages, num_partitions)
     return (extract_html_path(pages)
             .unionByName(extract_pdf_path(pages))
-            .unionByName(extract_raster_path(pages, num_partitions)))
+            .unionByName(extract_raster_path(pages, num_partitions,
+                                             staged=staged)))
 
 
 def extract_documents_robust(pages: DataFrame,

@@ -45,6 +45,20 @@ def test_partitioning_invariance(spark, corpus):
     )
 
 
+def test_fused_matches_staged(spark, corpus):
+    """The zero-shuffle fused raster leg and the two-exchange staged leg
+    must produce byte-identical documents (same per-page kernels)."""
+    pages = pages_from_pandas(spark, corpus).repartition(4, "url")
+    fused = (extract_documents(pages, staged=False).toPandas()
+             .sort_values("url").reset_index(drop=True))
+    staged = (extract_documents(pages, staged=True).toPandas()
+              .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        fused[["url", "text", "aozora", "noruby", "path"]],
+        staged[["url", "text", "aozora", "noruby", "path"]],
+    )
+
+
 def test_raster_records_nonempty(spark, corpus):
     out = _run(spark, corpus, 4)
     rast = out[out.path == "raster"]

@@ -75,11 +75,12 @@ def test_q1_partial_agg_and_codegen(spark, reg):
 
 
 def test_pipeline_shuffle_budget_and_pruning(spark):
-    """The extraction DAG budgets exactly: 1 input spread per leg (AQE's
-    stage cache dedupes the identical canonical exchanges at runtime)
-    + 2 grouped-stage repartitions — and column pruning pushes through the
-    repartition so only (url, html) are shuffled, never the full 5-column
-    pages row."""
+    """The extraction DAG budgets exactly ONE logical shuffle: the input
+    spread (one canonical exchange per leg, deduped by AQE's stage cache
+    at runtime) — the fused raster leg adds no exchange. Column pruning
+    pushes through the repartition so only (url, html) are shuffled,
+    never the full 5-column pages row. The staged raster variant adds
+    exactly its 2 grouped-stage repartitions."""
     from findtextcenternet_spark.corpus import generate_pages
     from findtextcenternet_spark.pipeline import (
         extract_documents,
@@ -88,14 +89,15 @@ def test_pipeline_shuffle_budget_and_pruning(spark):
     pages = pages_from_pandas(spark, generate_pages(32))
     df = extract_documents(pages)
     phys = df._jdf.queryExecution().executedPlan().toString()
-    # one spread per leg (html/pdf/raster — AQE's stage cache collapses
-    # the three identical canonical exchanges at runtime) + 2 grouped-stage
-    # repartitions
-    assert phys.count("Exchange hashpartitioning(url") <= 5
+    # one spread per leg (html/pdf/raster — identical canonical exchanges)
+    assert phys.count("Exchange hashpartitioning(url") <= 3
     for line in phys.splitlines():
         if "LocalTableScan" in line:
             assert "warc_ts" not in line and "lang" not in line, (
                 "input spread shuffles unpruned pages rows")
+    staged = extract_documents(pages, staged=True)
+    sphys = staged._jdf.queryExecution().executedPlan().toString()
+    assert sphys.count("Exchange hashpartitioning(url") <= 5
 
 
 def test_heavy_dedup_queries_avoid_cartesian(spark, reg):
