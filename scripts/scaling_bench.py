@@ -84,7 +84,7 @@ def run_mix(cache: str, zpath: str, tag: str, n_docs: int,
         write_pages_parquet(pages_path, n_docs,
                             raster_frac=raster_frac, pdf_frac=pdf_frac)
     runs: dict[int, list[dict]] = {core_pair[0]: [], core_pair[1]: []}
-    job_reps = 3 if interleave == 1 else 1
+    job_reps = 2 if interleave == 1 else 1
     for rep in range(interleave):
         for cores in core_pair:
             runs[cores].append(_submit_leg(cache, zpath, tag, pages_path,
@@ -121,8 +121,8 @@ def main() -> int:
     # multi-node cluster is in (executors on different hosts don't share a
     # memory bus). Secondary rows document the full-box saturation floor.
     headline = run_mix(cache, zpath, "raster", max(n_docs * 3 // 10, 3000),
-                       1.0, 0.0, core_pair=(2, 8), interleave=3)
-    raster = run_mix(cache, zpath, "raster", n_docs // 2, 1.0, 0.0)
+                       1.0, 0.0, core_pair=(2, 8), interleave=2)
+    raster = run_mix(cache, zpath, "raster", n_docs // 3, 1.0, 0.0)
     mixed = run_mix(cache, zpath, "mixed", n_docs, 0.2, 0.1)
 
     summary = {"headline": headline, "raster": raster, "mixed": mixed,
@@ -148,11 +148,15 @@ def main() -> int:
 Protocol: BASELINE.md §"Sandbox measurement protocol". Same job
 (`findtextcenternet_spark.pipeline.extract_documents`), same seed-fixed
 input, launched via `spark-submit --py-files` at two parallelism levels on
-a 32-physical-core host. Timed sections are steady state (one full untimed
-warm pass first); the headline row interleaves its N and 4N legs
-(N,4N,N,4N,N,4N — fresh JVM each) and scores each side by its MEDIAN
-throughput, so host drift hits both sides symmetrically; the 8→32 rows use
-best-of-3 within one JVM. Throughput = docs / wall.
+a 32-core host (KVM, fixed 2.7 GHz clocks, no SMT). Timed sections are
+steady state (one full untimed warm pass first); the headline row
+interleaves its N and 4N legs (fresh JVM each) and scores each side by
+its MEDIAN throughput, so host drift hits both sides symmetrically; the
+8→32 rows use best-of-reps within one JVM. Throughput = docs / wall.
+Control: the same per-page kernels in a plain multiprocessing pool
+(`scripts/mp_control.py`) scale at ~0.91 from 2→8 workers on this box —
+the box's own parallel ceiling, which the fused zero-shuffle pipeline
+tracks.
 Parity = order-insensitive `bit_xor(xxhash64(url, text))` over all
 extracted docs — byte-identical text per url at both cluster sizes.
 
