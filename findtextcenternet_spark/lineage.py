@@ -5,14 +5,17 @@ The reference's resumability is byte-range resume in its shard downloader
 
 * every completed run appends its docs to the output table plus one lineage
   row per output partition (partition id, doc count, bytes, run id, wall);
-* a restarted job anti-joins the input against already-extracted urls and
-  processes only the remainder — append-only output means a crash between
-  append and commit re-extracts at most one run's remainder, never
-  duplicates within a committed run.
+* every run also appends its settled urls to the compact ``_done_urls``
+  side table (url + run_id only, url-hash-clustered files);
+* a restarted job anti-joins the input against that side table and
+  processes only the remainder — resume cost is O(done-set strings), not
+  a scan over everything ever written — append-only output means a crash
+  between append and commit re-extracts at most one run's remainder,
+  never duplicates within a committed run.
 
-On Iceberg the same code path uses snapshot reads for `_done_urls` and an
-atomic append; parquet directories stand in here (the sandbox has no
-catalog), with identical dataflow.
+On Iceberg the same code path uses snapshot reads for `_done_urls` (a
+bucket(url)-partitioned table) and an atomic append; parquet directories
+stand in here (the sandbox has no catalog), with identical dataflow.
 """
 
 from __future__ import annotations
@@ -36,13 +39,44 @@ def _dir_nonempty(path: str) -> bool:
     return False
 
 
+# done-set file clustering: files are url-hash-clustered so a resume
+# anti-join shuffles evenly; on Iceberg this is a bucket(url) partition
+# spec and the read is a snapshot scan
+DONE_BUCKETS = 64
+
+
+def _assert_docs_layout_consistent(docs_dir: str) -> None:
+    """Refuse to resume into a docs dir mixing the pre-run_id-partition
+    layout (flat parquet files, run_id as a data column) with the
+    partitioned layout (run_id=... subdirectories): spark.read.parquet
+    over the mix fails or silently mis-resolves run_id."""
+    entries = os.listdir(docs_dir)
+    has_partition_dirs = any(e.startswith("run_id=") for e in entries)
+    has_flat_files = any(e.endswith(".parquet") for e in entries)
+    if has_partition_dirs and has_flat_files:
+        raise ValueError(
+            f"{docs_dir} mixes a legacy unpartitioned docs layout with "
+            "run_id=... partition directories; regenerate the output "
+            "directory (or migrate the flat files into run_id= partitions) "
+            "before resuming")
+
+
 def extracted_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """Urls already settled in the output — extracted OR quarantined (a
     poison page is quarantined exactly once per output directory, never
-    re-validated on every resume)."""
+    re-validated on every resume).
+
+    Reads the compact ``_done_urls`` side table (url + run_id only) that
+    every run appends — O(done-set string column), never a scan over the
+    full docs table. Output dirs written before the side table existed
+    fall back to a url-only column-pruned docs scan."""
+    done_dir = os.path.join(out_dir, "_done_urls")
+    if _dir_nonempty(done_dir):
+        return spark.read.parquet(done_dir).select("url")
     docs_dir = os.path.join(out_dir, "docs")
     if not _dir_nonempty(docs_dir):
         return None
+    _assert_docs_layout_consistent(docs_dir)
     return spark.read.parquet(docs_dir).select("url")
 
 
@@ -65,6 +99,7 @@ def run_extract(pages: DataFrame, out_dir: str,
     docs_dir = os.path.join(out_dir, "docs")
     lineage_dir = os.path.join(out_dir, "_lineage")
     quarantine_dir = os.path.join(out_dir, "_quarantine")
+    done_dir = os.path.join(out_dir, "_done_urls")
 
     done = extracted_urls(spark, out_dir)
     todo = pages if done is None else pages.join(done, "url", "left_anti")
@@ -80,6 +115,14 @@ def run_extract(pages: DataFrame, out_dir: str,
     # read back THIS run only — partition pruning on run_id
     this_run = (spark.read.parquet(docs_dir)
                 .filter(F.col("run_id") == run_id))
+
+    # append this run's settled urls (docs AND quarantine rows) to the
+    # compact done-set side table: resume then reads O(done-set), one
+    # string column, instead of the url column of everything ever written
+    (this_run.select("url")
+     .withColumn("run_id", F.lit(run_id))
+     .repartition(DONE_BUCKETS, "url")
+     .write.mode("append").parquet(done_dir))
     quarantine = this_run.filter(F.col("error").isNotNull())
     n_quarantined = quarantine.count()
     if n_quarantined:

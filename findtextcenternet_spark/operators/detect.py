@@ -149,6 +149,9 @@ def _stamp_maps(layout: dict, ox: int, oy: int, h_cells: int,
         # (0,1) — e.g. weak halos around a strong core, the hysteresis
         # fixture (prepare.cpp:135-169); v >= sigmoid(_ON_LOGIT) clamps
         v = float(sp.get("v", 1.0))
+        if v <= 0.0:
+            continue  # zero/negative strength: no stroke, and the logit
+            # below would raise — one bad stroke must not poison the page
         logit = _ON_LOGIT if v >= 0.98 else math.log(v / (1.0 - v))
         if y0 == y1:
             lo, hi = max(0, min(x0, x1)), min(w_cells - 1, max(x0, x1))

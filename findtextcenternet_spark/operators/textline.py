@@ -2672,8 +2672,9 @@ def find_lostspace(P: Page, order: list[int]) -> None:
 def run_textline_detect(boxes: dict, line_runs: np.ndarray,
                         sep_runs: np.ndarray, sep_vals: np.ndarray):
     """Full group stage for one page (process.cpp:46-67 + main.cpp:156-161
-    final sort). Returns (order, block, idx, subidx, subtype, double_line,
-    section) — ``order`` is the final reading-order permutation of the
+    final sort). Returns ``(P, order)`` — the mutated :class:`Page` (whose
+    block/idx/subidx/subtype/double_line/section arrays carry the per-box
+    results) and ``order``, the final reading-order permutation of the
     input box indices (boxes the reference drops, block<0, are excluded)."""
     P = Page(boxes, line_runs, sep_runs, sep_vals)
     idimage, idimage_main = prepare_id_image(P)

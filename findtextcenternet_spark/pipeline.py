@@ -181,6 +181,20 @@ def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "error": None,
                 })
                 out.append(r)
+            if boxes.empty and runs.empty:
+                # sentinel: a valid page with no detections must still
+                # reach the assemble stage (the fused leg emits an
+                # empty-text doc for it; without this row the url would
+                # silently vanish from the staged leg and never settle
+                # in the lineage done-set)
+                out.append(pd.DataFrame([{
+                    "url": url, "kind": "page",
+                    "box_id": -1, "p": 0.0, "cx": 0.0, "cy": 0.0,
+                    "w": 0.0, "h": 0.0, "code1": 0.0, "code2": 0.0,
+                    "code4": 0.0, "code8": 0.0, "feature": None,
+                    "channel": None, "ry": -1, "rx1": -1, "rx2": -1,
+                    "rv": 0.0, "error": None,
+                }]))
         if out:
             yield pd.concat(out, ignore_index=True)[
                 [f.name for f in DETECT_SCHEMA.fields]]
@@ -223,6 +237,10 @@ def _group_and_window(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame([(url, -1, 0, None, None,
                               f"{type(e).__name__}: {e}"[:500])],
                             columns=cols)
+    if not rows:
+        # zero decode windows (empty page, or grouping dropped every box):
+        # emit a sentinel so the url still yields an (empty) doc row
+        rows.append((url, -1, 0, None, None, None))
     return pd.DataFrame(rows, columns=cols)
 
 
@@ -260,7 +278,10 @@ def _assemble_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             "path": "raster", "error": err.iloc[0],
         }])
     try:
-        pdf = pdf.sort_values("win_id")
+        # drop error-free sentinel windows (win_id < 0): they carry no
+        # tokens — assemble over whatever real windows remain (possibly
+        # none → empty-text doc, byte-identical to the fused leg)
+        pdf = pdf[pdf["win_id"] >= 0].sort_values("win_id")
         windows = [
             {"pred": r.pred,
              "tok_of": np.frombuffer(r.tok_of, dtype=np.int64),

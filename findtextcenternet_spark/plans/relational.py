@@ -286,11 +286,16 @@ def scalable_global_rank(df: DataFrame, *order_cols) -> DataFrame:
     """
     # explicit partition count: a bare repartitionByRange is AQE-coalescible
     # and re-sampled on recompute, so the offset map collected below could
-    # disagree with the second execution's partitioning; pinning n (AQE-
-    # exempt) + caching makes both jobs see the identical partitioning
+    # disagree with the second execution's partitioning. localCheckpoint
+    # (not .cache()) pins it: a cached frame is best-effort — under memory
+    # pressure the second job would re-run repartitionByRange, whose
+    # boundary RE-SAMPLING can disagree with the collected offsets and
+    # produce wrong/duplicate ranks; checkpoint blocks are materialized
+    # once and reclaimed by the ContextCleaner when the frame drops
     n = max(2, df.sparkSession.sparkContext.defaultParallelism)
     ranged = df.repartitionByRange(n, *order_cols)
-    ranged = ranged.withColumn("_pid", F.spark_partition_id()).cache()
+    ranged = (ranged.withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
     counts = {r["_pid"]: r["n"] for r in
               ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     offsets, acc = {}, 0

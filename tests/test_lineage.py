@@ -88,6 +88,55 @@ def test_poison_pages_quarantined_not_fatal(spark, tmp_path):
     assert q2.count() == 2
 
 
+def test_resume_reads_compact_done_set_urls_only(spark, tmp_path):
+    """Scale contract for resume: the anti-join's done side must read the
+    compact ``_done_urls`` side table (url column only), never the full
+    docs table (VERDICT r2 weak-for-scale item)."""
+    import os
+
+    from findtextcenternet_spark.lineage import extracted_urls
+
+    out_dir = str(tmp_path / "extracted5")
+    pages = pages_from_pandas(spark, generate_pages(20))
+    run_extract(pages, out_dir, run_id="r1", num_partitions=4)
+    assert os.path.isdir(out_dir + "/_done_urls")
+
+    done = extracted_urls(spark, out_dir)
+    assert done.count() == 20
+    # scans _done_urls (not the docs table)
+    files = done.inputFiles()
+    assert files and all("_done_urls" in f for f in files)
+    # and prunes to the url column (plan paths may be truncated; schema
+    # is not)
+    plan = done._jdf.queryExecution().executedPlan().toString()
+    read = plan.split("ReadSchema:")[1][:200]
+    assert "url" in read
+    for heavy in ("text", "spans", "aozora", "html"):
+        assert heavy not in read
+
+
+def test_mixed_docs_layout_detected_on_resume(spark, tmp_path):
+    """A docs dir mixing the legacy flat layout (run_id as data column)
+    with run_id=... partition dirs must fail fast with a clear error, not
+    mis-resolve run_id (ADVICE r2)."""
+    import pytest as _pytest
+
+    from findtextcenternet_spark.lineage import extracted_urls
+
+    out_dir = str(tmp_path / "extracted6")
+    docs_dir = out_dir + "/docs"
+    # legacy layout: flat files with run_id as a data column
+    legacy = spark.createDataFrame(
+        [("https://a.example.org/1", "old-run")], "url string, run_id string")
+    legacy.write.parquet(docs_dir)
+    # new layout appended into the same dir
+    (spark.createDataFrame([("https://a.example.org/2", "new-run")],
+                           "url string, run_id string")
+     .write.mode("append").partitionBy("run_id").parquet(docs_dir))
+    with _pytest.raises(ValueError, match="legacy unpartitioned"):
+        extracted_urls(spark, out_dir)
+
+
 def test_binary_junk_html_extracts_empty_not_fatal(spark, tmp_path):
     """Non-UTF-8 bytes on the HTML leg are NOT poison: charset fallback
     (utf-8 → cp932 → latin-1) decodes them and extraction yields empty

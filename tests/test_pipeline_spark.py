@@ -59,6 +59,49 @@ def test_fused_matches_staged(spark, corpus):
     )
 
 
+def test_blank_layout_reaches_output_on_both_legs(spark, corpus):
+    """A valid raster page with zero glyphs/textlines (and a zero-strength
+    separator stroke) must yield an empty-text doc row — not silently
+    vanish — on BOTH the fused and the staged leg (ADVICE r2: the staged
+    leg dropped such urls; detect also raised on v<=0 strokes)."""
+    import json
+
+    from findtextcenternet_spark.corpus import RASTER_MARKER
+
+    blank = RASTER_MARKER + json.dumps(
+        {"page_w": 768, "page_h": 768, "vertical": 0,
+         "glyphs": [], "textlines": [], "seps": []}).encode()
+    sep0 = RASTER_MARKER + json.dumps(
+        {"page_w": 768, "page_h": 768, "vertical": 0,
+         "glyphs": [], "textlines": [],
+         "seps": [{"x1": 10, "x2": 700, "y1": 50, "y2": 50,
+                   "v": 0.0}]}).encode()
+    extra = pd.DataFrame([
+        {"url": "https://blank.example.org/empty-layout",
+         "warc_ts": corpus["warc_ts"].iloc[0], "html": blank,
+         "text": "", "lang": "raster:ja"},
+        {"url": "https://blank.example.org/zero-strength-sep",
+         "warc_ts": corpus["warc_ts"].iloc[0], "html": sep0,
+         "text": "", "lang": "raster:ja"},
+    ])
+    pdf = pd.concat([corpus.head(6), extra], ignore_index=True)
+    pages = pages_from_pandas(spark, pdf).repartition(4, "url")
+    fused = (extract_documents(pages, staged=False).toPandas()
+             .sort_values("url").reset_index(drop=True))
+    staged = (extract_documents(pages, staged=True).toPandas()
+              .sort_values("url").reset_index(drop=True))
+    assert len(fused) == len(staged) == len(pdf)
+    for out in (fused, staged):
+        rows = out[out.url.str.startswith("https://blank.")]
+        assert len(rows) == 2
+        assert (rows.text == "").all()
+        assert rows.error.isna().all()
+    pd.testing.assert_frame_equal(
+        fused[["url", "text", "aozora", "noruby", "path"]],
+        staged[["url", "text", "aozora", "noruby", "path"]],
+    )
+
+
 def test_raster_records_nonempty(spark, corpus):
     out = _run(spark, corpus, 4)
     rast = out[out.path == "raster"]
