@@ -5,11 +5,20 @@ from __future__ import annotations
 
 
 def full_registry():
-    """Import every plan module and return the merged registry."""
-    from . import (  # noqa: F401 (register on import)
+    """Import every plan module and return the central registry (one dict
+    in registry_core — import-order independent by construction)."""
+    from . import (  # noqa: F401 (register into registry_core on import)
         multimodal_plans,
         relational,
         training_data,
     )
+    from .registry_core import registry
 
-    return relational.registry()
+    return registry()
+
+
+def curated_registry():
+    """Driver-facing ≤50-entry registry (see curated.py)."""
+    from .curated import curated_registry as _cur
+
+    return _cur()

@@ -1,0 +1,169 @@
+"""Curated driver-facing registry: every operator, ≤50 entries.
+
+The driver's CORRECTNESS artifact records at most 50 ``queries()`` entries
+per round; the full registry has ~67. For two rounds the overflow (the
+dedup/ANN/LLM-data ops and the pipeline entries) silently missed the hard
+gate (VERDICT r2 'next round' item 1). This module folds near-duplicate
+relational demos into merged entries — each merged query UNIONs its legs
+into a common generic schema ``(part, k1..kK string, v1..vV double)`` with
+the leg name as the ``part`` tag, and its oracle UNION ALLs the legs' SQL
+with identical casts — so every leg's full row set stays hash-checked
+while the entry count drops to exactly 50 (47 here + 3 pipeline entries
+added by ``__spark_entry__``).
+
+Casting discipline (both engines must render values identically):
+keys/ints/booleans → string ('true'/'false' in Spark and DuckDB alike;
+int → decimal digits alike); floats → double, already rounded by the leg
+queries. Doubles are NEVER cast to string (formatting differs).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from .registry_core import SparkQuery
+
+# per-leg output column spec: ("col", "s"|"d") — "s" cast to string (keys,
+# ints, booleans), "d" cast to double (floats, counts)
+LEGS: dict[str, list[tuple[str, str]]] = {
+    "p4_threshold_filter": [("l_orderkey", "s"), ("l_linenumber", "s"),
+                            ("l_quantity", "d")],
+    "t1_threshold_scan": [("l_returnflag", "s"), ("l_orderkey", "s"),
+                          ("l_linenumber", "s"), ("rnk", "d")],
+    "p8_flag_threshold": [("l_returnflag", "s"), ("n_ruby", "d"),
+                          ("n_space", "d"), ("n", "d")],
+    "p9_min_chain_filter": [("o_orderkey", "s"), ("o_custkey", "s")],
+    "a1_overlap_max": [("user_id", "s"), ("event_type", "s"),
+                       ("max_value", "d")],
+    "a2_neighborhood_max": [("event_id", "s"), ("user_id", "s"),
+                            ("nbr_max", "d")],
+    "a3_median": [("l_returnflag", "s"), ("med_price", "d"),
+                  ("th_hist", "d")],
+    "a15_welford_stats": [("event_type", "s"), ("mean_v", "d"),
+                          ("std_v", "d"), ("n", "d")],
+    "a4_chain_extrema": [("chain", "s"), ("max_w", "d"), ("max_h", "d"),
+                         ("n_boxes", "d")],
+    "a8_block_bbox": [("block", "s"), ("x1", "d"), ("x2", "d"),
+                      ("y1", "d"), ("y2", "d"), ("n", "d")],
+    "a5_weighted_endpoint_mean": [("l_orderkey", "s"), ("anchor", "d")],
+    "a7_mean_gap": [("l_suppkey", "s"), ("mean_gap", "d")],
+    "a9_orientation_vote": [("o_custkey", "s"), ("vote", "d")],
+    "a14_dense_rank": [("c_custkey", "s"), ("c_nationkey", "s"),
+                       ("rnk", "d")],
+    "w4_peak_ranking": [("l_orderkey", "s"), ("l_linenumber", "s"),
+                        ("peak_score", "d")],
+    "t2_topk_per_group": [("o_custkey", "s"), ("o_orderkey", "s"),
+                          ("price", "d")],
+    "w6_lag_gap_check": [("user_id", "s"), ("event_id", "s"), ("dv", "d")],
+    "j6_asof_next_line": [("o_custkey", "s"), ("o_orderkey", "s"),
+                          ("next_order", "s"), ("wait_s", "d")],
+    "j1_range_join": [("bucket", "s"), ("n", "d"), ("sum_price", "d")],
+    "j5_distance_join": [("probe_id", "s"), ("n_near", "d")],
+    "u1_union_dedup": [("custkey", "s")],
+    "u2_anti_join": [("c_custkey", "s"), ("c_nationkey", "s")],
+    "u3_union_all": [("src", "s"), ("n", "d")],
+    "f2_crt_reconstruct": [("x", "s"), ("b0", "s"), ("b1", "s"),
+                           ("b2", "s"), ("recon", "s")],
+    "f3_codepoint_guard": [("cp", "s"), ("cp_safe", "s")],
+    "f4_ruby_decode": [("doc_id", "s"), ("aozora", "s")],
+    "f5_ruby_html_encode": [("doc_id", "s"), ("html_ruby", "s")],
+    "f7_space_normalize": [("doc_id", "s"), ("norm_text", "s")],
+    "f9_utf32_codepoints": [("doc_id", "s"), ("cp_head", "s")],
+    "f6_whitespace_classify": [("doc_id", "s"), ("n_ascii_space", "d"),
+                               ("n_other_space", "d")],
+    "f8_script_class": [("doc_id", "s"), ("has_ascii", "s"),
+                        ("has_cjk", "s"), ("has_hangul", "s")],
+}
+
+# merged entry name → leg names (each leg keeps full-row hash coverage)
+MERGES: list[tuple[str, list[str]]] = [
+    ("p4_t1_threshold_rank", ["p4_threshold_filter", "t1_threshold_scan"]),
+    ("p8_p9_flag_chain_filters", ["p8_flag_threshold",
+                                  "p9_min_chain_filter"]),
+    ("a1_a2_neighborhood_max", ["a1_overlap_max", "a2_neighborhood_max"]),
+    ("a3_a15_group_stats", ["a3_median", "a15_welford_stats"]),
+    ("a4_a8_extrema_bbox", ["a4_chain_extrema", "a8_block_bbox"]),
+    ("a5_a7_endpoint_gap", ["a5_weighted_endpoint_mean", "a7_mean_gap"]),
+    ("a9_a14_vote_rank", ["a9_orientation_vote", "a14_dense_rank"]),
+    ("w4_t2_peak_topk", ["w4_peak_ranking", "t2_topk_per_group"]),
+    ("w6_j6_lag_asof", ["w6_lag_gap_check", "j6_asof_next_line"]),
+    ("j1_j5_spatial_joins", ["j1_range_join", "j5_distance_join"]),
+    ("u1_u2_u3_set_ops", ["u1_union_dedup", "u2_anti_join",
+                          "u3_union_all"]),
+    ("f2_f3_codepoint_math", ["f2_crt_reconstruct", "f3_codepoint_guard"]),
+    ("f4_f5_f7_f9_text_funcs", ["f4_ruby_decode", "f5_ruby_html_encode",
+                                "f7_space_normalize",
+                                "f9_utf32_codepoints"]),
+    ("f6_f8_charclass", ["f6_whitespace_classify", "f8_script_class"]),
+]
+
+
+def _shape(leg_names: list[str]) -> tuple[int, int]:
+    max_s = max(sum(1 for _, k in LEGS[n] if k == "s") for n in leg_names)
+    max_d = max(sum(1 for _, k in LEGS[n] if k == "d") for n in leg_names)
+    return max_s, max_d
+
+
+def _mk_spark_fn(leg_names: list[str], base) -> SparkQuery:
+    max_s, max_d = _shape(leg_names)
+
+    def fn(spark, sf_dir):
+        frames = []
+        for leg in leg_names:
+            df = base[leg][0](spark, sf_dir)
+            spec = LEGS[leg]
+            s_cols = [c for c, k in spec if k == "s"]
+            d_cols = [c for c, k in spec if k == "d"]
+            sel = [F.lit(leg).alias("part")]
+            for i in range(max_s):
+                col = (F.col(s_cols[i]).cast("string") if i < len(s_cols)
+                       else F.lit(None).cast("string"))
+                sel.append(col.alias(f"k{i + 1}"))
+            for i in range(max_d):
+                col = (F.col(d_cols[i]).cast("double") if i < len(d_cols)
+                       else F.lit(None).cast("double"))
+                sel.append(col.alias(f"v{i + 1}"))
+            frames.append(df.select(*sel))
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    return fn
+
+
+def _mk_sql(leg_names: list[str], base) -> str:
+    max_s, max_d = _shape(leg_names)
+    parts = []
+    for leg in leg_names:
+        sql = base[leg][1]
+        spec = LEGS[leg]
+        s_cols = [c for c, k in spec if k == "s"]
+        d_cols = [c for c, k in spec if k == "d"]
+        sel = [f"'{leg}' AS part"]
+        for i in range(max_s):
+            expr = (f"CAST({s_cols[i]} AS VARCHAR)" if i < len(s_cols)
+                    else "CAST(NULL AS VARCHAR)")
+            sel.append(f"{expr} AS k{i + 1}")
+        for i in range(max_d):
+            expr = (f"CAST({d_cols[i]} AS DOUBLE)" if i < len(d_cols)
+                    else "CAST(NULL AS DOUBLE)")
+            sel.append(f"{expr} AS v{i + 1}")
+        parts.append(f"SELECT {', '.join(sel)} FROM (\n{sql}\n)")
+    return "\nUNION ALL\n".join(parts)
+
+
+def curated_registry():
+    """Full operator coverage in 47 entries (+3 pipeline = the driver's
+    50-row window): merged relational demos + standalone relational +
+    multimodal + training-data ops."""
+    from . import full_registry
+
+    base = full_registry()
+    absorbed = {leg for _, legs in MERGES for leg in legs}
+    out = {}
+    for name, legs in MERGES:
+        out[name] = (_mk_spark_fn(legs, base), _mk_sql(legs, base))
+    for name, entry in base.items():
+        if name not in absorbed:
+            out[name] = entry
+    return out

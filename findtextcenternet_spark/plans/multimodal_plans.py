@@ -67,10 +67,44 @@ def mm_frame_sample(spark, sf_dir):
                     .alias("frame_idx")))
 
 
-@register("mm_feature_extract", None)  # payload math is Python-side only
+@register("mm_feature_extract", """
+WITH m AS (
+  SELECT vec_id AS media_id,
+         64 + 8 * (vec_id % 7) AS w,
+         48 + 16 * (vec_id % 5) AS h,
+         LEAST((64 + 8 * (vec_id % 7)) * (48 + 16 * (vec_id % 5)), 4096)
+           AS n
+  FROM embeddings),
+p AS (
+  SELECT m.media_id,
+         CAST(FLOOR(((g.i * 2654435761 + m.media_id * 40503
+                      + m.w * 7 + m.h * 13) % 251) / 16.0) AS INTEGER)
+           AS bin
+  FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS i) g),
+c AS (SELECT media_id, bin, count(*) AS cnt FROM p GROUP BY media_id, bin),
+bins AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS bin)
+SELECT m.media_id, b.bin, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+FROM m CROSS JOIN bins b
+LEFT JOIN c ON c.media_id = m.media_id AND c.bin = b.bin
+""")
 def mm_feature_extract(spark, sf_dir):
-    """Feature extraction over binary payloads (normalized byte histogram
-    standing in for a model embedding); rows-only check — the deterministic
-    value/partition-invariance gate lives in tests/test_multimodal.py."""
+    """Feature extraction over binary payloads (normalized 16-bin byte
+    histogram standing in for a model embedding), hash-checked END TO END:
+    the unit-norm float32 feature is inverted back to exact integer bin
+    counts (count_i = v_i·n/Σv with n = payload length, error ≪ 0.5, so
+    round() is exact) and DuckDB recomputes the same counts from the
+    closed-form payload generator — a pass proves encode → binary column →
+    Arrow batch → histogram → normalize preserved every bin. Retires the
+    last rows-only entry (VERDICT r2 item 8)."""
+    from pyspark.sql.window import Window as W
+
     feats = mm.extract_features(_media_df(spark, sf_dir))
-    return feats.select("media_id", F.size("feature").alias("dim"))
+    n = F.least((64 + 8 * (F.col("media_id") % 7))
+                * (48 + 16 * (F.col("media_id") % 5)), F.lit(4096))
+    ex = feats.select("media_id", n.alias("n"),
+                      F.posexplode("feature").alias("bin", "fv"))
+    tot = W.partitionBy("media_id")
+    cnt = F.round(F.col("fv") * F.col("n") / F.sum("fv").over(tot))
+    return ex.select("media_id",
+                     F.col("bin").cast("int").alias("bin"),
+                     cnt.cast("long").alias("cnt"))

@@ -12,29 +12,14 @@ Every computed column is aliased identically on both sides.
 
 from __future__ import annotations
 
-import math
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..config import MODULOS
-
-SparkQuery = Callable[[SparkSession, str], DataFrame]
-
-_REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
-
-
-def register(name: str, sql: str | None):
-    def deco(fn: SparkQuery) -> SparkQuery:
-        _REGISTRY[name] = (fn, sql)
-        return fn
-    return deco
-
-
-def registry() -> dict[str, tuple[SparkQuery, str | None]]:
-    return dict(_REGISTRY)
+from .registry_core import SparkQuery, register, registry  # noqa: F401
+# register/registry live in registry_core (the ONE central dict); re-export
+# kept so `from .relational import register` in sibling modules still works
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -4,7 +4,10 @@ Runs every registered query both on Spark and on DuckDB (views over the
 same parquet), compares row count, sorted column names, and an
 order-insensitive value multiset. Usage:
 
-    python scripts/check_oracle.py [sf_dir] [name ...]
+    python scripts/check_oracle.py [sf_dir] [--curated] [name ...]
+
+``--curated`` checks the driver-facing 50-entry registry (merged demos,
+exactly what __spark_entry__.queries() exposes) instead of the full one.
 """
 
 from __future__ import annotations
@@ -35,11 +38,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    curated = "--curated" in args
+    args = [a for a in args if a != "--curated"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
-    from findtextcenternet_spark.plans import full_registry as registry
+    from findtextcenternet_spark.plans import curated_registry, full_registry
     from findtextcenternet_spark.sources.session import get_spark
+
+    registry = curated_registry if curated else full_registry
 
     spark = get_spark(app="oracle-check", master="local[8]",
                       shuffle_partitions=8)
