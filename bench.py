@@ -71,11 +71,22 @@ def main() -> int:
     # warm the JVM/Python-worker pools so q1 doesn't pay session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # interleaved reps (round-robin over the whole list, like the scaling
+    # harness) so slow-host periods hit every query equally; per-query
+    # MEDIAN is reported — r1→r2 showed ~20% whole-section drift at n=2
+    # that medians-of-3 make distinguishable from a real regression
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            fn, _sql = reg[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+    import statistics
+
     for name in HEADLINE:
-        fn, _sql = reg[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(statistics.median(samples[name]), 3)
 
     pages = spark.read.parquet(pages_path)
     # first pass warms codegen/worker pool/page cache; the second measures

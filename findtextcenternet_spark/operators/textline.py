@@ -113,10 +113,10 @@ class Page:
         self.W = max_x + 4
         self.H = max_y + 4
 
-        self.lineimage = np.zeros((self.H, self.W), dtype=np.float64)
+        self.lineimage = np.zeros((self.H, self.W), dtype=np.float32)
         for y, x1, x2 in line_runs:
             self.lineimage[int(y), int(x1):int(x2) + 1] = 0.982
-        self.sepimage = np.zeros((self.H, self.W), dtype=np.float64)
+        self.sepimage = np.zeros((self.H, self.W), dtype=np.float32)
         for (y, x1, x2), v in zip(sep_runs, sep_vals):
             self.sepimage[int(y), int(x1):int(x2) + 1] = float(v)
         self.lineblocker = np.zeros((self.H, self.W), dtype=bool)
@@ -174,7 +174,7 @@ def _label_components_4(mask: np.ndarray) -> tuple[np.ndarray, int]:
     Returns (label map int[H,W] with -1 background, n_components)."""
     runs = _runs_of_mask(mask)
     n = len(runs)
-    labels = np.full(mask.shape, -1, dtype=np.int64)
+    labels = np.full(mask.shape, -1, dtype=np.int32)
     if n == 0:
         return labels, 0
     uf = _UnionFind(n)
@@ -203,8 +203,8 @@ def _label_components_4(mask: np.ndarray) -> tuple[np.ndarray, int]:
 def prepare_id_image(P: Page) -> tuple[np.ndarray, np.ndarray]:
     """Box-id rasters (prepare.cpp:68-97): idimage stamps every box,
     idimage_main skips ruby glyphs; later box ids overwrite earlier."""
-    idimage = np.full((P.H, P.W), -1, dtype=np.int64)
-    idimage_main = np.full((P.H, P.W), -1, dtype=np.int64)
+    idimage = np.full((P.H, P.W), -1, dtype=np.int32)
+    idimage_main = np.full((P.H, P.W), -1, dtype=np.int32)
     for i in range(P.n):
         left = int((P.cx[i] - P.w[i] / 2) / SCALE)
         right = int((P.cx[i] + P.w[i] / 2) / SCALE) + 1
@@ -240,11 +240,11 @@ def make_lineblocker(P: Page) -> None:
     sep = P.sepimage
     H, W = P.H, P.W
     for y0, x0 in zip(seeds[0].tolist(), seeds[1].tolist()):
-        value_th = sep[y0, x0] * 0.1
+        value_th = sep.item(y0, x0) * 0.1
         stack = [(y0, x0)]
         while stack:
             y, x = stack.pop()
-            if sep[y, x] < value_th:
+            if sep.item(y, x) < value_th:
                 continue
             blocker[y, x] = True
             for yy in range(y - 1, y + 2):
@@ -253,7 +253,7 @@ def make_lineblocker(P: Page) -> None:
                         continue
                     if blocker[yy, xx]:
                         continue
-                    if sep[yy, xx] < value_th:
+                    if sep.item(yy, xx) < value_th:
                         continue
                     stack.append((yy, xx))
     P.lineblocker = blocker
@@ -270,7 +270,7 @@ def _detect_line_fast(P: Page, on_mask: np.ndarray
     descending-value scan for our binary line maps."""
     runs = _runs_of_mask(on_mask)
     n = len(runs)
-    labels = np.full(on_mask.shape, -1, dtype=np.int64)
+    labels = np.full(on_mask.shape, -1, dtype=np.int32)
     if n == 0:
         return labels, 0
     uf = _UnionFind(n)
@@ -301,7 +301,7 @@ def detect_line(P: Page) -> tuple[np.ndarray, int]:
     5x5 neighborhood from cells in descending lineimage order, a blocker
     cell anywhere in the window stops expansion from that cell."""
     H, W = P.H, P.W
-    lineid_map = np.full((H, W), -1, dtype=np.int64)
+    lineid_map = np.full((H, W), -1, dtype=np.int32)
     on = np.nonzero(P.lineimage.ravel() >= LINE_VALUETH)[0]
     if len(on) == 0:
         return lineid_map, 0
@@ -333,18 +333,18 @@ def detect_line(P: Page) -> tuple[np.ndarray, int]:
     flat_id = lineid_map.ravel()
     lineid_count = 0
     for i in order.tolist():
-        if flat_id[i] >= 0:
+        if flat_id.item(i) >= 0:
             continue
         if flat_block[i]:
             continue
         stack = [i]
         while stack:
             i2 = stack.pop()
-            if flat_id[i2] >= 0:
+            if flat_id.item(i2) >= 0:
                 continue
             if flat_block[i2]:
                 continue
-            if flat_line[i2] < LINE_VALUETH:
+            if flat_line.item(i2) < LINE_VALUETH:
                 continue
             flat_id[i2] = lineid_count
             x0 = i2 % W
@@ -356,12 +356,12 @@ def detect_line(P: Page) -> tuple[np.ndarray, int]:
                     if x < 0 or x >= W or y < 0 or y >= H:
                         continue
                     i3 = y * W + x
-                    if flat_id[i3] >= 0:
+                    if flat_id.item(i3) >= 0:
                         continue
                     if flat_block[i3]:
                         hit_blocker = True
                         break
-                    if flat_line[i3] < LINE_VALUETH:
+                    if flat_line.item(i3) < LINE_VALUETH:
                         continue
                     tmp.append(i3)
                 if hit_blocker:
@@ -379,8 +379,8 @@ def set_angle(P: Page, lineid_map: np.ndarray, lineid_count: int
     wider take left->right. Extreme-point ties are broken by (y, x)
     lexicographic order (canonicalizes the flood-fill-order dependence of
     the C++ p1/p2 scan)."""
-    angle_map = np.full((P.H, P.W), np.nan)
-    new_map = np.full((P.H, P.W), -1, dtype=np.int64)
+    angle_map = np.full((P.H, P.W), np.nan, dtype=np.float32)
+    new_map = np.full((P.H, P.W), -1, dtype=np.int32)
     new_count = 0
     for lid in range(lineid_count):
         ys, xs = np.nonzero(lineid_map == lid)
@@ -421,8 +421,8 @@ def chain_boxes(P: Page, lineid_count: int, angle_map: np.ndarray,
                 x, y = int(xi / SCALE), int(yi / SCALE)
                 if not (0 <= x < W and 0 <= y < H):
                     continue
-                lineid = lineid_map[y, x]
-                direction = angle_map[y, x]
+                lineid = lineid_map.item(y, x)
+                direction = angle_map.item(y, x)
                 if lineid >= 0 and not math.isnan(direction):
                     chains[lineid].append(boxid)
                     P.direction[boxid] = direction
@@ -449,33 +449,33 @@ def line_grow(P: Page, lineid_count: int, angle_map: np.ndarray,
                 mw = max(mw, P.w[boxid], P.h[boxid])
         line_width[lid] = mw / SCALE
     H, W = P.H, P.W
-    map2 = np.full((H, W), -1, dtype=np.int64)
+    map2 = np.full((H, W), -1, dtype=np.int32)
     ys, xs = np.nonzero(lineid_map >= 0)
     for y, x in zip(ys.tolist(), xs.tolist()):
         if P.lineblocker[y, x]:
             continue
-        lid = lineid_map[y, x]
+        lid = lineid_map.item(y, x)
         map2[y, x] = lid
-        direction = angle_map[y, x]
+        direction = angle_map.item(y, x)
         mw = int(line_width[lid])
         if abs(direction) < M_PI_4:
             for y2 in range(y, max(-1, y - mw - 1), -1):
                 if P.lineblocker[y2, x]:
                     break
-                if map2[y2, x] < 0:
+                if map2.item(y2, x) < 0:
                     map2[y2, x] = lid
                     angle_map[y2, x] = direction
         else:
             for x2 in range(x, max(-1, x - mw // 2 - 1), -1):
                 if P.lineblocker[y, x2]:
                     break
-                if map2[y, x2] < 0:
+                if map2.item(y, x2) < 0:
                     map2[y, x2] = lid
                     angle_map[y, x2] = direction
             for x2 in range(x, min(W, x + mw // 2 + 1)):
                 if P.lineblocker[y, x2]:
                     break
-                if map2[y, x2] < 0:
+                if map2.item(y, x2) < 0:
                     map2[y, x2] = lid
                     angle_map[y, x2] = direction
     return map2
@@ -744,7 +744,7 @@ def create_chainid_map(P: Page, chains: list[list[int]], ratio: float = 1.0,
     an O(1) lookup (create_chainid_map search_loop.cpp:451-522). Track
     lines are stamped with a transverse band of size/3*ratio, then each
     chained non-ruby box's rectangle is stamped."""
-    cmap = np.full((P.H, P.W), -1, dtype=np.int64)
+    cmap = np.full((P.H, P.W), -1, dtype=np.int32)
     for chainid, chain in enumerate(chains):
         if not chain:
             continue
@@ -914,7 +914,7 @@ def combine_chains(P: Page, chains: list[list[int]]) -> None:
                             other1 = []
                             blocked = True
                             break
-                        oc = cmap[y, x]
+                        oc = cmap.item(y, x)
                         if oc >= 0 and oc != chainid and oc not in done \
                                 and oc not in other1:
                             och = chains[oc]
@@ -946,7 +946,7 @@ def combine_chains(P: Page, chains: list[list[int]]) -> None:
                             other2 = []
                             blocked = True
                             break
-                        oc = cmap[y, x]
+                        oc = cmap.item(y, x)
                         if oc >= 0 and oc != chainid and oc not in done \
                                 and oc not in other2:
                             och = chains[oc]
@@ -982,7 +982,7 @@ def combine_chains(P: Page, chains: list[list[int]]) -> None:
                             other1 = []
                             blocked = True
                             break
-                        oc = cmap[y, x]
+                        oc = cmap.item(y, x)
                         if oc >= 0 and oc != chainid and oc not in done \
                                 and oc not in other1:
                             och = chains[oc]
@@ -1013,7 +1013,7 @@ def combine_chains(P: Page, chains: list[list[int]]) -> None:
                             other2 = []
                             blocked = True
                             break
-                        oc = cmap[y, x]
+                        oc = cmap.item(y, x)
                         if oc >= 0 and oc != chainid and oc not in done \
                                 and oc not in other2:
                             och = chains[oc]
@@ -1074,7 +1074,7 @@ def fix_unbined(P: Page, chains: list[list[int]]) -> bool:
                 x, y = int(px / SCALE), int(py / SCALE)
                 if not (0 <= x < P.W and 0 <= y < P.H):
                     continue
-                oc = cmap[y, x]
+                oc = cmap.item(y, x)
                 if oc >= 0 and chains[oc]:
                     chains[oc].append(boxid)
                     P.direction[boxid] = P.direction[chains[oc][0]]
@@ -1104,7 +1104,7 @@ def fix_unbined(P: Page, chains: list[list[int]]) -> bool:
                                 continue
                             if P.lineblocker[y1, x1]:
                                 return False
-                            oc2 = cmap[y1, x1]
+                            oc2 = cmap.item(y1, x1)
                             if oc2 >= 0 and chains[oc2] and \
                                     abs(P.direction[chains[oc2][0]]) < M_PI_4:
                                 chains[oc2].append(boxid)
@@ -1126,7 +1126,7 @@ def fix_unbined(P: Page, chains: list[list[int]]) -> bool:
                                 continue
                             if P.lineblocker[y1, x1]:
                                 return False
-                            oc2 = cmap[y1, x1]
+                            oc2 = cmap.item(y1, x1)
                             if oc2 >= 0 and chains[oc2] and \
                                     abs(P.direction[chains[oc2][0]]) > M_PI_4:
                                 chains[oc2].append(boxid)
@@ -1200,12 +1200,12 @@ def chain_space(P: Page, chains: list[list[int]], idimage: np.ndarray) -> None:
                     y += SCALE
                     if iy < 0 or iy >= P.H:
                         continue
-                    if P.sepimage[iy, ix] > SEP_VALUETH2:
+                    if P.sepimage.item(iy, ix) > SEP_VALUETH2:
                         found = True
                         break
-                    oc = cmap[iy, ix]
+                    oc = cmap.item(iy, ix)
                     if oc < 0 or oc == chainid:
-                        ob = idimage[iy, ix]
+                        ob = idimage.item(iy, ix)
                         if ob < 0:
                             continue
                         if ob in unbined:
@@ -1235,12 +1235,12 @@ def chain_space(P: Page, chains: list[list[int]], idimage: np.ndarray) -> None:
                     x += SCALE
                     if ix < 0 or ix >= P.W:
                         continue
-                    if P.sepimage[iy, ix] > SEP_VALUETH2:
+                    if P.sepimage.item(iy, ix) > SEP_VALUETH2:
                         found = True
                         break
-                    oc = cmap[iy, ix]
+                    oc = cmap.item(iy, ix)
                     if oc < 0 or oc == chainid:
-                        ob = idimage[iy, ix]
+                        ob = idimage.item(iy, ix)
                         if ob < 0:
                             continue
                         if ob in unbined:
@@ -1519,10 +1519,10 @@ def search_ruby(P: Page, chains: list[list[int]], idimage: np.ndarray) -> None:
                         continue
                     if P.lineblocker[yq, xi]:
                         break
-                    oc = cmap[yq, xi]
+                    oc = cmap.item(yq, xi)
                     if oc >= 0 and oc != chainid:
                         break
-                    oid = idimage[yq, xi]
+                    oid = idimage.item(yq, xi)
                     if oid < 0:
                         continue
                     if not P.is_ruby(int(oid)):
@@ -1543,10 +1543,10 @@ def search_ruby(P: Page, chains: list[list[int]], idimage: np.ndarray) -> None:
                         continue
                     if P.lineblocker[yi, xq]:
                         break
-                    oc = cmap[yi, xq]
+                    oc = cmap.item(yi, xq)
                     if oc >= 0 and oc != chainid:
                         break
-                    oid = idimage[yi, xq]
+                    oid = idimage.item(yi, xq)
                     if oid < 0:
                         continue
                     if not P.is_ruby(int(oid)):
@@ -2123,7 +2123,7 @@ def process_line(P: Page, id_max: int, chains: list[list[int]],
                             continue
                         if P.lineblocker[yp, xi]:
                             break
-                        oc = cmap[yp, xi]
+                        oc = cmap.item(yp, xi)
                         if oc < 0 or oc == chainid:
                             continue
                         if lineparams[oc].d == 1:
@@ -2168,7 +2168,7 @@ def process_line(P: Page, id_max: int, chains: list[list[int]],
                             continue
                         if P.lineblocker[yi, xp]:
                             break
-                        oc = cmap[yi, xp]
+                        oc = cmap.item(yi, xp)
                         if oc < 0 or oc == chainid:
                             continue
                         if lineparams[oc].d == 2:
