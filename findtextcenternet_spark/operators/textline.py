@@ -1968,7 +1968,14 @@ def renumber_id(P: Page, id_max: int) -> int:
     for horizontal text (make_block.cpp:727-897) and top-then-right for
     vertical (make_block.cpp:1000-1296); otherwise everything shares one
     section. Vertical sections number after horizontal ones
-    (make_block.cpp:998)."""
+    (make_block.cpp:998).
+
+    Table-vs-columns (make_block.cpp:906-980): side-by-side horizontal
+    groups only become per-column sections when at least two of their
+    bottoms align within 4x the first line's size (true 段組 runs to a
+    common baseline); ragged bottoms mean a grid of short cells — a
+    table — which shares ONE section and reads row-major via the
+    reference's insertion order (_table_interleave)."""
     params: dict[int, _LineParam] = {}
     chain_ids: list[int] = []
     major_direction = 0
@@ -1998,11 +2005,38 @@ def renumber_id(P: Page, id_max: int) -> int:
     horiz = [c for c in chain_ids if params[c].d == 0 and params[c].count > 0]
     vert = [c for c in chain_ids if params[c].d == 1 and params[c].count > 0]
 
-    def _column_sections(ids: list[int], horizontal: bool, base: int) -> int:
+    def _table_interleave(groups: list[list[int]]) -> list[int]:
+        """Reference table-order insertion (make_block.cpp:941-975):
+        place section 0's lines top-down; each later-section line (in
+        cy1 order, sections ascending) inserts right after the FIRST
+        already-placed previous-section line it y-overlaps, else appends
+        — a grid of cells comes out row-major."""
+        placed: list[tuple[int, int]] = [
+            (c, 0) for c in sorted(groups[0],
+                                   key=lambda c: (params[c].cy1, c))]
+        for s in range(1, len(groups)):
+            for c in sorted(groups[s], key=lambda c: (params[c].cy1, c)):
+                pos = next(
+                    (k for k, (pc, ps) in enumerate(placed)
+                     if ps == s - 1 and _overlap(params[pc].cy1,
+                                                 params[pc].cy2,
+                                                 params[c].cy1,
+                                                 params[c].cy2)), None)
+                if pos is None:
+                    placed.append((c, s))
+                else:
+                    placed.insert(pos + 1, (c, s))
+        return [c for c, _ in placed]
+
+    def _column_sections(ids: list[int], horizontal: bool, base: int
+                         ) -> tuple[int, list[int] | None]:
         """Transitive cross-axis interval overlap -> columns; sections only
-        when columns are actually side-by-side."""
+        when columns are actually side-by-side. Returns (next_base,
+        explicit_order) — explicit_order is non-None when the
+        table-vs-columns heuristic fired (the table reading order can't be
+        expressed as a per-line sort key)."""
         if not ids:
-            return base
+            return base, None
         uf = _UnionFind(len(ids))
         for a in range(len(ids)):
             for b in range(a + 1, len(ids)):
@@ -2032,19 +2066,32 @@ def renumber_id(P: Page, id_max: int) -> int:
         if len(groups) < 2 or not side_by_side:
             for c in ids:
                 params[c].section = base
-            return base + 1
+            return base + 1, None
         if horizontal:
             groups.sort(key=lambda g: min(params[c].cx1 for c in g))
+            # table-vs-columns (make_block.cpp:906-980): genuine
+            # side-by-side columns run to a common baseline — at least TWO
+            # section bottoms within 4x the first line's size of the
+            # deepest one. Ragged bottoms mean a grid of short cells (a
+            # table): one shared section, read row-major via the
+            # reference's insertion order instead of column-major.
+            bottoms = [max(params[c].cy2 for c in g) for g in groups]
+            b = max(bottoms)
+            s4 = params[ids[0]].size * 4
+            if sum(1 for x in bottoms if abs(b - x) < s4) <= 1:
+                for c in ids:
+                    params[c].section = base
+                return base + 1, _table_interleave(groups)
         else:
             groups.sort(key=lambda g: (min(params[c].cy1 for c in g),
                                        -max(params[c].cx2 for c in g)))
         for k, g in enumerate(groups):
             for c in g:
                 params[c].section = base + k
-        return base + len(groups)
+        return base + len(groups), None
 
-    nsec = _column_sections(horiz, True, 0)
-    _column_sections(vert, False, nsec)
+    nsec, horiz_order = _column_sections(horiz, True, 0)
+    _, vert_order = _column_sections(vert, False, nsec)
 
     # geometric chain reorder — this is what renumber_id actually returns
     # through box.idx (make_block.cpp:1350-1357): horizontal lines first,
@@ -2052,10 +2099,16 @@ def renumber_id(P: Page, id_max: int) -> int:
     # lines after, by (section, RIGHTMOST first, top)
     # (make_block.cpp:1001-1003,1283-1287) — vertical columns read
     # right-to-left
-    horiz.sort(key=lambda c: (params[c].section, params[c].cy1,
-                              params[c].cx1, c))
-    vert.sort(key=lambda c: (params[c].section, -params[c].cx2,
-                             params[c].cy1, c))
+    if horiz_order is not None:
+        horiz = horiz_order
+    else:
+        horiz.sort(key=lambda c: (params[c].section, params[c].cy1,
+                                  params[c].cx1, c))
+    if vert_order is not None:
+        vert = vert_order
+    else:
+        vert.sort(key=lambda c: (params[c].section, -params[c].cx2,
+                                 params[c].cy1, c))
     ordered = horiz + vert + [c for c in chain_ids
                               if params[c].count == 0]
     remap = {old: new for new, old in enumerate(ordered)}

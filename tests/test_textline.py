@@ -157,8 +157,11 @@ def _golden_of(paras, vertical=False, quirk=None, columns=None):
 
 def test_w3_two_column_reading_order():
     """Two side-by-side columns read column-by-column (sections,
-    make_block.cpp:580-1359) — NOT row-interleaved."""
-    col0 = [["aaa bbb", "ccc ddd"], ["eee fff"]]
+    make_block.cpp:580-1359) — NOT row-interleaved. Column bottoms differ
+    by one line step (64px), inside the 4x-line-size alignment tolerance
+    of the table-vs-columns check (make_block.cpp:916-919), so this stays
+    a genuine 段組."""
+    col0 = [["aaa bbb", "ccc ddd", "eee fff"]]
     col1 = [["ggg hhh", "iii jjj"]]
     ordered, layout = _golden_of(col0 + col1, columns=[col0, col1])
     # column split x: the vertical separator
@@ -170,6 +173,54 @@ def test_w3_two_column_reading_order():
         "left column must be read completely before the right column")
     # and blocks are numbered column-major
     assert ordered["block"].is_monotonic_increasing
+
+
+def _grid_cells(col_x0s, rows_per_col, row_step=128):
+    """Table-like grid: each cell is a 3-box horizontal line; returns
+    (boxes, line_runs). Cell rows start at cy=100; the 128px row step
+    exceeds the next-line probe reach (2x28px) so every cell is its own
+    block, and the 300px column gap exceeds the chain-merge probe so
+    cells never merge horizontally."""
+    rows = []
+    line_runs = []
+    for x0, n_rows in zip(col_x0s, rows_per_col):
+        for r in range(n_rows):
+            cy = 100 + row_step * r
+            for k in range(3):
+                rows.append((x0 + 16 + 32 * k, cy, 28, 28))
+            line_runs.append([cy // 4, (x0 + 2) // 4, (x0 + 94) // 4])
+    return _boxes(rows), np.array(line_runs, dtype=np.int64)
+
+
+def test_w3_table_ragged_bottoms_read_row_major():
+    """A grid of short cells whose column bottoms are ragged is a TABLE,
+    not side-by-side columns: reference falls back to row-major
+    (make_block.cpp:906-980 — sections share one id and interleave by
+    y-overlap). Column A has 5 cells, column B only 2 — bottom gap 180px
+    > 4x the 28px line size, so the column-major path must NOT fire."""
+    boxes, lines = _grid_cells([20, 320], [5, 2])
+    P, order = run_textline_detect(boxes, lines, NO_RUNS,
+                                   np.zeros(0))
+    assert len(order) == 21
+    # boxes 0-14 = column A cells 0-4; 15-20 = column B cells 0-1
+    cell_of = [int(i) // 3 for i in order[::3]]  # first box of each cell
+    # row-major: A0, B0, A1, B1, A2, A3, A4  (A cells are 0-4, B are 5-6)
+    assert cell_of == [0, 5, 1, 6, 2, 3, 4], cell_of
+    # all lines share one section (the table is one reading unit)
+    assert len({int(P.section[i]) for i in order}) == 1
+
+
+def test_w3_aligned_bottoms_stay_column_major():
+    """Same geometry with equal-depth columns: bottoms align, so these ARE
+    side-by-side columns and read column-by-column (the existing W3
+    behavior must not regress)."""
+    boxes, lines = _grid_cells([20, 320], [5, 5])
+    P, order = run_textline_detect(boxes, lines, NO_RUNS,
+                                   np.zeros(0))
+    assert len(order) == 30
+    cell_of = [int(i) // 3 for i in order[::3]]
+    assert cell_of == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9], cell_of
+    assert len({int(P.section[i]) for i in order}) == 2
 
 
 def test_w5_warichu_row_order():
