@@ -2613,10 +2613,14 @@ def find_lostspace(P: Page, order: list[int]) -> None:
     finally every line's head space flag is re-derived from
     cx_head > fitted margin (space_check.cpp:658-671).
 
-    Simplification vs the reference: the walk always runs top-to-bottom
-    (the reference picks the topmost wide-headed line as the walk seed and
-    adds a reverse pass, space_check.cpp:181-208,303-398 — relevant only
-    to pages whose first lines are untrustworthy)."""
+    The walk is seeded at the line whose wide head (w >= 0.6*s0) starts
+    furthest toward the margin (space_check.cpp:181-208) — NOT blindly at
+    the first line, so header/ornament lines at the top of a block cannot
+    mis-anchor the margin estimate. Seed in the top half: forward walk
+    from the seed, then a reverse pass over the whole block; seed in the
+    bottom half: backward walk, then a forward pass
+    (space_check.cpp:209-600, incl. the per-pass threshold asymmetries
+    0.85/0.75/1.0 of the reference)."""
     blocks = sorted({int(P.block[i]) for i in order if P.block[i] >= 0})
     for b in blocks:
         lines: dict[int, list[int]] = {}
@@ -2645,41 +2649,48 @@ def find_lostspace(P: Page, order: list[int]) -> None:
                 if axis[lines[ln][0]] - size[lines[ln][0]] / 2 - x0 <= s0 * 2.5]
         if len(kept) < 2:
             continue
+        n = len(kept)
 
-        # amx walk: per-head margin estimate + indent classification
-        amx = [0.0] * len(kept)
-        head_indent = [False] * len(kept)
-        head_skip = [False] * len(kept)
-        delta = 0.0
-        prev_amx = 0.0
-        have_prev = False
-        fit_pts: list[tuple[float, float, int]] = []  # (cross, edge, ln-pos)
-        for pos, ln in enumerate(kept):
-            lb = lines[ln]
-            skip = len(lb) < 2
-            if not skip:
-                mx2 = (axis[lb[0]] + size[lb[0]] / 2 +
-                       axis[lb[1]] - size[lb[1]] / 2) / 2
-                mx2 = max(mx2, (axis[lb[0]] + axis[lb[1]]) / 2)
-                sx2 = mx2 - s0
-                # untrustworthy-head rejections (space_check.cpp:219-252)
-                if axis[lb[1]] - axis[lb[0]] > s0 * 1.15:
-                    skip = True
-                if size[lb[0]] + size[lb[1]] < s0 * 0.85:
-                    skip = True
-                if len(lb) == 3:
-                    span = axis[lb[2]] - axis[lb[0]]
-                    if span < s0 or span > s0 * 2.2:
-                        skip = True
-            if skip:
-                head_skip[pos] = True
-                if have_prev:
-                    amx[pos] = prev_amx + delta
-                continue
-            head_indent[pos] = \
-                (P.subtype[lb[0]] & SUBTYPE_SPACE) == SUBTYPE_SPACE
-            if have_prev:
-                fmx = prev_amx + delta
+        # current head flags, up front (space_check.cpp:172-177)
+        head_indent = [
+            (P.subtype[lines[ln][0]] & SUBTYPE_SPACE) == SUBTYPE_SPACE
+            for ln in kept]
+        head_skip = [False] * n
+        amx = [0.0] * n
+
+        def head_geom(pos: int) -> tuple[float, float] | None:
+            lb = lines[kept[pos]]
+            if len(lb) < 2:
+                return None
+            mx2 = (axis[lb[0]] + size[lb[0]] / 2 +
+                   axis[lb[1]] - size[lb[1]] / 2) / 2
+            mx2 = max(mx2, (axis[lb[0]] + axis[lb[1]]) / 2)
+            return mx2, mx2 - s0
+
+        def base_skip(pos: int, sizesum_th: float, span_hi_inner_only: bool,
+                      span_lo_th: float = 1.0) -> bool:
+            """Per-pass untrustworthy-head rejection
+            (space_check.cpp:219-252 and the pass variants)."""
+            lb = lines[kept[pos]]
+            if axis[lb[1]] - axis[lb[0]] > s0 * 1.15:
+                return True
+            if size[lb[0]] + size[lb[1]] < s0 * sizesum_th:
+                return True
+            if len(lb) == 3:
+                span = axis[lb[2]] - axis[lb[0]]
+                if span < s0 * span_lo_th:
+                    return True
+                if span > s0 * 2.2 and \
+                        (not span_hi_inner_only or 0 < pos < n - 1):
+                    return True
+            return False
+
+        def classify(pos: int, fmx: float | None) -> None:
+            """amx/flag update given the forecast margin (the shared body
+            of every pass, space_check.cpp:260-301)."""
+            geom = head_geom(pos)
+            mx2, sx2 = geom
+            if fmx is not None:
                 if mx2 < fmx and abs(fmx - mx2) > s0 * 0.25:
                     head_skip[pos] = True
                 elif abs(fmx - mx2) < s0 * 0.6:
@@ -2690,20 +2701,124 @@ def find_lostspace(P: Page, order: list[int]) -> None:
                     head_indent[pos] = True
                 else:
                     head_skip[pos] = True
-            if head_skip[pos]:
-                amx[pos] = prev_amx + delta if have_prev else 0.0
-            else:
+            if not head_skip[pos]:
                 amx[pos] = sx2 if head_indent[pos] else mx2
-                if have_prev and prev_amx != 0:
-                    delta = (amx[pos] - prev_amx) * 0.25 + delta * 0.75
-                prev_amx = amx[pos]
-                have_prev = True
-                # fit point: left edge for indented, right edge otherwise
-                # (both track margin + one glyph, space_check.cpp:625-636)
-                edge = (axis[lb[0]] - size[lb[0]] / 2 if head_indent[pos]
-                        else axis[lb[0]] + size[lb[0]] / 2)
-                fit_pts.append((float(cross[lb[0]]), float(edge), pos))
 
+        def delta_fwd(lo: int, hi: int) -> float:
+            d = 0.0
+            for j in range(lo, hi):
+                if amx[j] != 0 and amx[j - 1] != 0:
+                    d = (amx[j] - amx[j - 1]) * 0.25 + d * 0.75
+            return d
+
+        def delta_bwd(hi: int, lo: int) -> float:
+            d = 0.0
+            for j in range(hi, lo, -1):
+                if amx[j] != 0 and amx[j + 1] != 0:
+                    d = (amx[j] - amx[j + 1]) * 0.25 + d * 0.75
+            return d
+
+        # seed: the line with a wide head (>= 0.6*s0) starting furthest
+        # toward the margin (space_check.cpp:181-208)
+        k = 0
+        minx = math.inf
+        for pos, ln in enumerate(kept):
+            lb = lines[ln]
+            if len(lb) < 2 or size[lb[0]] < s0 * 0.6:
+                continue
+            sx = axis[lb[0]] - size[lb[0]] / 2
+            if sx < minx:
+                minx = sx
+                k = pos
+
+        if k < n / 2:
+            # forward walk from the seed (space_check.cpp:209-301)
+            for i in range(k, n):
+                if len(lines[kept[i]]) < 2:
+                    continue
+                if base_skip(i, 0.85, False):
+                    head_skip[i] = True
+                    if i > 0 and amx[i - 1] != 0:
+                        amx[i] = amx[i - 1] + delta_fwd(k + 1, i)
+                    continue
+                d = delta_fwd(k + 1, i)
+                fmx = amx[i - 1] + d if (i > 0 and amx[i - 1] != 0) else None
+                classify(i, fmx)
+                if head_skip[i] and i > 0 and amx[i - 1] != 0:
+                    amx[i] = amx[i - 1] + d
+            # reverse pass over the whole block (space_check.cpp:303-398)
+            head_skip = [False] * n
+            for i in range(n - 1, -1, -1):
+                if len(lines[kept[i]]) < 2:
+                    continue
+                if base_skip(i, 0.85, True):
+                    head_skip[i] = True
+                    if i < n - 1 and amx[i + 1] != 0 and amx[i] == 0:
+                        amx[i] = amx[i + 1] + delta_bwd(n - 2, i)
+                    continue
+                d = delta_bwd(n - 2, i)
+                if i < n - 1 and amx[i + 1] != 0:
+                    fmx = amx[i] if (amx[i] != 0 and d == 0) \
+                        else amx[i + 1] + d
+                else:
+                    fmx = None
+                classify(i, fmx)
+                if head_skip[i] and i < n - 1 and amx[i + 1] != 0 \
+                        and amx[i] == 0:
+                    amx[i] = amx[i + 1] + d
+        else:
+            # backward walk from the seed (space_check.cpp:400-494)
+            for i in range(k, -1, -1):
+                if len(lines[kept[i]]) < 2:
+                    continue
+                if base_skip(i, 0.75, True):
+                    head_skip[i] = True
+                    if i < n - 1 and amx[i + 1] != 0:
+                        amx[i] = amx[i + 1] + delta_bwd(k - 1, i)
+                    continue
+                d = delta_bwd(k - 1, i)
+                fmx = amx[i + 1] + d if (i < n - 1 and amx[i + 1] != 0) \
+                    else None
+                classify(i, fmx)
+                if head_skip[i] and i < n - 1 and amx[i + 1] != 0:
+                    amx[i] = amx[i + 1] + d
+            # forward pass over the whole block (space_check.cpp:496-600;
+            # note the reference's vertical-family quirks: size-sum < s0
+            # and 3-box span < 0.75*s0)
+            head_skip = [False] * n
+            for i in range(n):
+                if len(lines[kept[i]]) < 2:
+                    continue
+                if vertical:
+                    bs = base_skip(i, 1.0, False, span_lo_th=0.75)
+                else:
+                    bs = base_skip(i, 0.75, False)
+                if bs:
+                    head_skip[i] = True
+                    if i > 0 and amx[i - 1] != 0 and amx[i] == 0:
+                        amx[i] = amx[i - 1] + delta_fwd(1, i)
+                    continue
+                d = delta_fwd(1, i)
+                if i > 0 and amx[i - 1] != 0:
+                    fmx = amx[i] if (amx[i] != 0 and d == 0) \
+                        else amx[i - 1] + d
+                else:
+                    fmx = None
+                classify(i, fmx)
+                if head_skip[i] and i > 0 and amx[i - 1] != 0 \
+                        and amx[i] == 0:
+                    amx[i] = amx[i - 1] + d
+
+        # margin-curve fit over trusted heads (space_check.cpp:602-643):
+        # left edge for indented heads, first box's right edge otherwise
+        fit_pts: list[tuple[float, float]] = []
+        for pos, ln in enumerate(kept):
+            lb = lines[ln]
+            if head_skip[pos]:
+                continue
+            edge = (axis[lb[0]] - size[lb[0]] / 2 if head_indent[pos]
+                    else axis[lb[0]] + size[lb[0]] / 2)
+            fit_pts.append((float(cross[lb[0]]), float(edge)))
         if len(fit_pts) < 2:
             continue
         xs_fit = np.array([p[0] for p in fit_pts])

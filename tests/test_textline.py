@@ -223,6 +223,46 @@ def test_w3_aligned_bottoms_stay_column_major():
     assert len({int(P.section[i]) for i in order}) == 2
 
 
+def test_find_lostspace_seeded_walk_survives_ornament_heads():
+    """A block whose first TWO lines are ornaments/headers sitting ~2
+    glyphs right of the body margin must not mis-anchor the margin walk:
+    the reference seeds at the line whose wide head starts furthest
+    toward the margin and adds a reverse pass
+    (space_check.cpp:181-208,303-398). The round-2 top-down-only walk
+    anchored on the ornaments, head_skip'd every body line, fitted the
+    margin at the ornament edge, and CLEARED the legitimately indented
+    body line's space flag."""
+    from findtextcenternet_spark.config import SUBTYPE_SPACE
+
+    rows = []
+    for r in range(2):  # ornament lines, boxes 0-5
+        for k in range(3):
+            rows.append((128 + 32 * k, 100 + 64 * r, 32, 32))
+    for r in range(5):  # body lines, boxes 6-20; r=2 indented one glyph
+        indent = 32.0 if r == 2 else 0.0
+        for k in range(3):
+            rows.append((64 + indent + 32 * k, 228 + 64 * r, 32, 32))
+    boxes = _boxes(rows)
+    boxes["code8"][12] = 1.0  # the indented head carries its space flag
+    line_runs = []
+    for r in range(2):
+        line_runs.append([(100 + 64 * r) // 4, 28, 52])
+    for r in range(5):
+        x0 = 12 + (8 if r == 2 else 0)
+        line_runs.append([(228 + 64 * r) // 4, x0, x0 + 24])
+    P, order = run_textline_detect(
+        boxes, np.array(line_runs, dtype=np.int64), NO_RUNS, np.zeros(0))
+    assert len(order) == 21
+    blocks = {int(P.block[i]) for i in order}
+    assert len(blocks) == 1, "fixture must group into one block"
+    # the legit indent survives
+    assert P.subtype[12] & SUBTYPE_SPACE, (
+        "ornament heads mis-anchored the margin walk: legit indent lost")
+    # body margin heads stay unflagged
+    for h in (6, 9, 15, 18):
+        assert not (P.subtype[h] & SUBTYPE_SPACE), f"box {h} gained a flag"
+
+
 def test_w5_warichu_row_order():
     """A warichu run reads first row fully, then second row
     (make_block.cpp:1764-1826)."""
