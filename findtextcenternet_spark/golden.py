@@ -20,24 +20,31 @@ from .operators.group import group_page
 from .operators.pdf import PDF_MAGIC, extract_pdf_text
 
 
-def extract_raster_page(html: bytes) -> dict:
-    """detect → group → tokenize → window → decode → assemble, one page."""
+def extract_raster_page(html: bytes, weights_path: str | None = None) -> dict:
+    """detect → group → tokenize → window → decode → assemble, one page.
+    ``weights_path`` selects the real-model forward path (models.py);
+    default is the deterministic surrogate."""
+    from .operators.model_registry import get_detector_model, get_residue_heads
+
+    model = get_detector_model(weights_path)
+    head = get_residue_heads(weights_path)
     layout = parse_layout(html)
-    boxes, runs = detect_page(layout)
+    boxes, runs = detect_page(layout, model)
     ordered = group_page(boxes, runs)
     tokens, meta = tokenize_page(ordered)
     windows = []
     for start, end, keep_back in segment_windows(tokens):
-        pred, tok_of = expand_window(tokens[start:end], meta[start:end])
+        pred, tok_of = expand_window(tokens[start:end], meta[start:end], head)
         windows.append({"pred": pred, "tok_of": tok_of,
                         "meta": meta[start:end], "keep_back": keep_back})
     return assemble_page(windows)
 
 
-def extract_page_golden(url: str, html: bytes) -> dict:
+def extract_page_golden(url: str, html: bytes,
+                        weights_path: str | None = None) -> dict:
     """Dispatch on content kind; returns the extracted-document record."""
     if html.startswith(RASTER_MARKER):
-        rec = extract_raster_page(html)
+        rec = extract_raster_page(html, weights_path)
         rec["path"] = "raster"
     elif html.startswith(PDF_MAGIC):
         text = extract_pdf_text(html)

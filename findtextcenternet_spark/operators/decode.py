@@ -224,12 +224,18 @@ def _residue_head(tokens: np.ndarray, masked: np.ndarray, rnd: int
     return ids, probs
 
 
-def mask_predict(tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def mask_predict(tokens: np.ndarray, head=None
+                 ) -> tuple[np.ndarray, np.ndarray]:
     """D3 mask-predict loop over the glyph positions of one window batch.
 
     tokens: (n, 106) glyph tokens (break tokens excluded by the caller).
+    ``head`` supplies the per-round residue distributions — the surrogate
+    by default, or the real softmax heads from model_registry
+    .get_residue_heads (models/transformer.py:274-360 contract).
     Returns (codepoints int64, final probabilities).
     """
+    if head is None:
+        head = _residue_head
     n = tokens.shape[0]
     codes = np.zeros(n, dtype=np.int64)
     p_final = np.zeros(n, dtype=np.float64)
@@ -238,7 +244,7 @@ def mask_predict(tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         if not masked.any():
             break
         idx = np.nonzero(masked)[0]
-        ids, probs = _residue_head(tokens[idx], masked[idx], rnd)
+        ids, probs = head(tokens[idx], masked[idx], rnd)
         k = idx.shape[0]
         # 27 CRT candidates per position (3 per modulus)
         i0, i1, i2 = np.meshgrid(np.arange(3), np.arange(3), np.arange(3),
@@ -263,7 +269,7 @@ def mask_predict(tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 # --- character expansion ----------------------------------------------------
 
-def expand_window(tokens: np.ndarray, meta: np.ndarray
+def expand_window(tokens: np.ndarray, meta: np.ndarray, head=None
                   ) -> tuple[str, np.ndarray]:
     """Decode one window's tokens into its character stream.
 
@@ -289,7 +295,7 @@ def expand_window(tokens: np.ndarray, meta: np.ndarray
     framed = np.vstack([sp_token()[None, :],
                         tokens[glyph_idx],
                         -sp_token()[None, :]])
-    codes_all, _ = mask_predict(framed)
+    codes_all, _ = mask_predict(framed, head)
     codes = codes_all[1:-1]
     code_of = dict(zip(glyph_idx.tolist(), codes.tolist()))
 

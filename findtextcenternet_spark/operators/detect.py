@@ -333,13 +333,22 @@ def greedy_nms(boxes: np.ndarray, hists: np.ndarray | None = None,
     return keep
 
 
-def detect_page(layout: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
+def detect_page(layout: dict, model=None
+                ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Full detect stage for one page.
+
+    ``model`` comes from model_registry.get_detector_model(): the
+    surrogate dict (default — heatmaps rendered from the layout record)
+    or a real forward-pass object (operators/models.py — rasterize,
+    tile, batched CNN forward, interior-mask merge), which shares all
+    downstream machinery (NMS, cutoff, size decode, contrast, runs).
 
     Returns (boxes, runs):
       boxes: box_id, p, cx, cy, w, h, code1..code8, feature(len-100 list)
       runs:  channel ('line'|'sep'), y (cell row), x1, x2 (inclusive cells)
     """
+    if model is not None and not isinstance(model, dict):
+        return detect_page_real(layout, model)
     page = render_page_heatmaps(layout)
     p = sigmoid(page[CH_KEY])
     pooled = maxpool3x3(p)
@@ -417,17 +426,24 @@ def detect_page(layout: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
     # through Arrow than list<float> (no per-element boxing)
     boxes["feature"] = [row.tobytes() for row in feats]
 
-    # RLE runs of the thresholded line / sep maps (group-stage input).
-    # Sep runs are cut at the group stage's lower blocker seed threshold
-    # (SEP_VALUETH, main.cpp:22) and carry the cell value so the group
-    # stage can rebuild the float sepimage its cluster-prune/hysteresis
-    # pass needs (prepare.cpp:99-170); runs split where the value changes.
+    runs = _runs_df(sigmoid(page[CH_LINE]), sigmoid(page[CH_SEP]))
+    return boxes, runs
+
+
+def _runs_df(line_vals: np.ndarray, sep_vals: np.ndarray) -> pd.DataFrame:
+    """RLE runs of the thresholded line / sep maps (group-stage input).
+
+    Sep runs are cut at the group stage's lower blocker seed threshold
+    (SEP_VALUETH, main.cpp:22) and carry the cell value so the group
+    stage can rebuild the float sepimage its cluster-prune/hysteresis
+    pass needs (prepare.cpp:99-170); runs split where the value changes.
+    Inputs are sigmoid-domain value maps (shared by the surrogate and
+    real-model paths)."""
     from ..config import LINE_VALUETH, SEP_RUN_FLOOR
 
     runs_rows = []
-    for name, ch, th in (("line", CH_LINE, LINE_VALUETH),
-                         ("sep", CH_SEP, SEP_RUN_FLOOR)):
-        vals = sigmoid(page[ch])
+    for name, vals, th in (("line", line_vals, LINE_VALUETH),
+                           ("sep", sep_vals, SEP_RUN_FLOOR)):
         mask = vals > th
         for y in range(mask.shape[0]):
             row = mask[y]
@@ -448,7 +464,114 @@ def detect_page(layout: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
                              "x1": pd.Series([], dtype=np.int64),
                              "x2": pd.Series([], dtype=np.int64),
                              "v": pd.Series([], dtype=np.float64)})
-    return boxes, runs
+    return runs
+
+
+def detect_page_real(layout: dict, model) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Real-model detect: rasterize -> white-pad -> 768px tiles -> batched
+    CNN forward (10+100-channel output, models/detector.py:203-230) ->
+    interior-mask overlap-max merge (P1+P2+A1, process_ocr_base.py:
+    480-516) -> the SAME peak/NMS/size/contrast/separator pipeline as the
+    surrogate. Features come from the model's fp16 feature map at the
+    peak cells (fp16 transport, test_image3_torch.py:397); the P6
+    contrast histogram comes from the actual pixels
+    (process_ocr_base.py:543-575)."""
+    from .models import TILE_PX, pad_to_tile_grid, rasterize_layout
+
+    img = pad_to_tile_grid(rasterize_layout(layout))
+    gray = img[:, :, 0]
+    hc_all, wc_all = img.shape[0] // SCALE, img.shape[1] // SCALE
+    oys, oxs = tile_origins(hc_all), tile_origins(wc_all)
+    tiles = np.stack([
+        img[oy * SCALE:oy * SCALE + TILE_PX, ox * SCALE:ox * SCALE + TILE_PX]
+        for oy in oys for ox in oxs])
+    heat, feats = model.forward_tiles(tiles)  # (B,11,192,192), (B,100,·,·)
+
+    page = np.full((heat.shape[1], hc_all, wc_all), -np.inf,
+                   dtype=np.float32)
+    fpage = np.zeros((FEATURE_DIM, hc_all, wc_all), dtype=np.float16)
+    bi = 0
+    for oy in oys:
+        for ox in oxs:
+            x_lo = _MARGIN if ox > 0 else 0
+            x_hi = TILE_CELLS - _MARGIN if ox + TILE_CELLS < wc_all \
+                else TILE_CELLS
+            y_lo = _MARGIN if oy > 0 else 0
+            y_hi = TILE_CELLS - _MARGIN if oy + TILE_CELLS < hc_all \
+                else TILE_CELLS
+            x_hi = min(x_hi, wc_all - ox)
+            y_hi = min(y_hi, hc_all - oy)
+            view = page[:, oy + y_lo:oy + y_hi, ox + x_lo:ox + x_hi]
+            np.maximum(view, heat[bi, :, y_lo:y_hi, x_lo:x_hi], out=view)
+            fpage[:, oy + y_lo:oy + y_hi, ox + x_lo:ox + x_hi] = \
+                feats[bi, :, y_lo:y_hi, x_lo:x_hi]
+            bi += 1
+    hcp = int(math.ceil(layout["page_h"] / SCALE))
+    wcp = int(math.ceil(layout["page_w"] / SCALE))
+    page = page[:, :hcp, :wcp]
+    fpage = fpage[:, :hcp, :wcp]
+
+    # channels: 0 keymap, 1 NMS'd peak, 2 szx, 3 szy, 4 line, 5 sep, 6-9
+    # codes (CenterNetDetector ordering)
+    p = sigmoid(np.nan_to_num(page[1], neginf=-30.0))
+    ys, xs = np.nonzero(p >= CUT_OFF)
+    pv = p[ys, xs]
+    order = np.lexsort((xs, ys, -pv))
+    ys, xs, pv = ys[order], xs[order], pv[order]
+
+    w = np.exp(page[2, ys, xs].astype(np.float64) - 3.0) * 1024.0
+    h = np.exp(page[3, ys, xs].astype(np.float64) - 3.0) * 1024.0
+    cx = xs.astype(np.float64) * SCALE
+    cy = ys.astype(np.float64) * SCALE
+    ok = (w > 1.0) & (h > 1.0) & (w < layout["page_w"]) \
+        & (h < layout["page_h"])
+    ys, xs, pv, w, h, cx, cy = (ys[ok], xs[ok], pv[ok], w[ok], h[ok],
+                                cx[ok], cy[ok])
+
+    # P6 contrast from the real pixels (process_ocr_base.py:543-557)
+    hists = np.zeros(len(ys))
+    for j in range(len(ys)):
+        x1 = max(0, int(cx[j] - w[j] / 2) - 1)
+        x2 = min(gray.shape[1], int(cx[j] + w[j] / 2) + 2)
+        y1 = max(0, int(cy[j] - h[j] / 2) - 1)
+        y2 = min(gray.shape[0], int(cy[j] + h[j] / 2) + 2)
+        hist = np.bincount(gray[y1:y2, x1:x2].ravel(), minlength=256)
+        hists[j] = cluster_dist(hist.astype(np.float64))
+    th_hist = (float(np.median(hists)) / 5.0) if len(hists) else 0.0
+
+    keep = greedy_nms(np.stack([pv, cx, cy, w, h], axis=1), hists, th_hist)
+    ys, xs, pv, w, h, cx, cy = (ys[keep], xs[keep], pv[keep], w[keep],
+                                h[keep], cx[keep], cy[keep])
+
+    sep_p = sigmoid(np.nan_to_num(page[5, ys, xs], neginf=-30.0))
+    ok = sep_p <= 0.5
+    ys, xs, pv, w, h, cx, cy = (ys[ok], xs[ok], pv[ok], w[ok], h[ok],
+                                cx[ok], cy[ok])
+
+    codes = np.zeros((4, len(ys)), dtype=np.float64)
+    for ci, ch in enumerate((6, 7, 8, 9)):
+        cmax = np.full(len(ys), -np.inf, dtype=np.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                yy = np.clip(ys + dy, 0, hcp - 1)
+                xx = np.clip(xs + dx, 0, wcp - 1)
+                np.maximum(cmax, page[ch, yy, xx], out=cmax)
+        codes[ci] = sigmoid(np.nan_to_num(cmax.astype(np.float64),
+                                          neginf=-30.0))
+
+    feats_rows = fpage[:, ys, xs].T.astype(np.float32)
+    boxes = pd.DataFrame({
+        "box_id": np.arange(len(ys), dtype=np.int64),
+        "p": pv.astype(np.float64),
+        "cx": cx, "cy": cy, "w": w, "h": h,
+        "code1": codes[0], "code2": codes[1],
+        "code4": codes[2], "code8": codes[3],
+    })
+    boxes["feature"] = [row.tobytes() for row in feats_rows]
+
+    line_vals = sigmoid(np.nan_to_num(page[4], neginf=-30.0))
+    sep_vals = sigmoid(np.nan_to_num(page[5], neginf=-30.0))
+    return boxes, _runs_df(line_vals, sep_vals)
 
 
 def parse_layout(html: bytes) -> dict:

@@ -127,23 +127,33 @@ DOC_SCHEMA = T.StructType([
 # ---------------------------------------------------------------- stages
 
 
-def _detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one page per input row → box + run rows.
+def _make_detect_batches(weights_path: str | None = None):
+    """Factory: the mapInPandas detect kernel with ``weights_path``
+    captured in the closure (cloudpickle ships it to every worker — no
+    reliance on executor env propagation).
 
     Poison pills are caught HERE, in the same pass that parses the page —
     a malformed layout becomes one kind='err' row that flows to a
     quarantine doc, never a task failure and never a second validation
     parse of the whole corpus."""
-    from .operators.model_registry import get_detector_model
+    def _detect_batches(it: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+        from .operators.model_registry import get_detector_model
 
-    get_detector_model()  # per-worker singleton; loads once, reused by
-    # every task this worker runs (real weights slot in here)
+        model = get_detector_model(weights_path)  # per-worker singleton;
+        # loads once, reused by every task this worker runs
+        yield from _detect_batches_impl(it, model)
+    return _detect_batches
+
+
+def _detect_batches_impl(it: Iterator[pd.DataFrame], model
+                         ) -> Iterator[pd.DataFrame]:
     for pdf in it:
         out = []
         for url, html in zip(pdf["url"], pdf["html"]):
             try:
                 layout = parse_layout(bytes(html))
-                boxes, runs = detect_page(layout)
+                boxes, runs = detect_page(layout, model)
             except Exception as e:  # noqa: BLE001 — quarantine, never fail
                 out.append(pd.DataFrame([{
                     "url": url, "kind": "err",
@@ -244,8 +254,21 @@ def _group_and_window(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=cols)
 
 
-def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: mask-predict decode, batched across pages."""
+def _make_decode_batches(weights_path: str | None = None):
+    """Factory: mask-predict decode kernel, batched across pages; the
+    residue head (surrogate or real softmax heads) resolves per worker
+    from the captured weights path."""
+    def _decode_batches(it: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+        from .operators.model_registry import get_residue_heads
+
+        head = get_residue_heads(weights_path)
+        yield from _decode_batches_impl(it, head)
+    return _decode_batches
+
+
+def _decode_batches_impl(it: Iterator[pd.DataFrame], head
+                         ) -> Iterator[pd.DataFrame]:
     enc_dim = FEATURE_DIM + 6
     for pdf in it:
         preds, toks = [], []
@@ -257,7 +280,7 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             tok = np.frombuffer(tokens, dtype=np.float32).reshape(-1, enc_dim)
             mt = np.frombuffer(meta, dtype=np.float64).reshape(-1, 9)
-            pred, tok_of = expand_window(tok, mt)
+            pred, tok_of = expand_window(tok, mt, head)
             preds.append(pred)
             toks.append(np.ascontiguousarray(tok_of,
                                              dtype=np.int64).tobytes())
@@ -414,22 +437,32 @@ def _parallelism(df: DataFrame, num_partitions: int | None) -> int:
     return df.sparkSession.sparkContext.defaultParallelism * 4
 
 
-def _raster_fused_batches(it: Iterator[pd.DataFrame]
-                          ) -> Iterator[pd.DataFrame]:
-    """Fused raster kernel: detect → group → window → decode → assemble
-    for each page inside ONE mapInPandas — the same per-page kernels as
-    the staged path (and the golden reference), so output parity is by
-    construction. Poison pages become error rows in the same pass."""
-    from .golden import extract_raster_page
-    from .operators.model_registry import get_detector_model
+def _make_raster_fused_batches(weights_path: str | None = None):
+    """Factory: fused raster kernel — detect → group → window → decode →
+    assemble for each page inside ONE mapInPandas — the same per-page
+    kernels as the staged path (and the golden reference), so output
+    parity is by construction. Poison pages become error rows in the
+    same pass."""
+    def _raster_fused_batches(it: Iterator[pd.DataFrame]
+                              ) -> Iterator[pd.DataFrame]:
+        from .operators.model_registry import get_detector_model
 
-    get_detector_model()  # per-worker singleton (real weights slot in)
+        get_detector_model(weights_path)  # per-worker singleton
+        yield from _raster_fused_impl(it, weights_path)
+    return _raster_fused_batches
+
+
+def _raster_fused_impl(it: Iterator[pd.DataFrame],
+                       weights_path: str | None
+                       ) -> Iterator[pd.DataFrame]:
+    from .golden import extract_raster_page
+
     doc_cols = [f.name for f in DOC_SCHEMA.fields]
     for pdf in it:
         recs = []
         for url, html in zip(pdf["url"], pdf["html"]):
             try:
-                rec = extract_raster_page(bytes(html))
+                rec = extract_raster_page(bytes(html), weights_path)
                 recs.append({
                     "url": url, "text": rec["text"],
                     "aozora": rec["aozora"], "noruby": rec["noruby"],
@@ -450,7 +483,8 @@ def _raster_fused_batches(it: Iterator[pd.DataFrame]
 
 def extract_raster_path(pages: DataFrame,
                         num_partitions: int | None = None,
-                        staged: bool = False) -> DataFrame:
+                        staged: bool = False,
+                        weights_path: str | None = None) -> DataFrame:
     """The raster leg.
 
     Default (``staged=False``): ONE narrow mapInPandas running the whole
@@ -482,13 +516,16 @@ def extract_raster_path(pages: DataFrame,
     """
     raster = pages.filter(is_raster_col()).select("url", "html")
     if not staged:
-        return raster.mapInPandas(_raster_fused_batches, DOC_SCHEMA)
+        return raster.mapInPandas(_make_raster_fused_batches(weights_path),
+                                  DOC_SCHEMA)
     n = _parallelism(pages, num_partitions)
-    detected = raster.mapInPandas(_detect_batches, DETECT_SCHEMA)
+    detected = raster.mapInPandas(_make_detect_batches(weights_path),
+                                  DETECT_SCHEMA)
     windows = (detected.repartition(n, F.col("url"))
                .groupBy("url").applyInPandas(_group_and_window,
                                              WINDOW_SCHEMA))
-    decoded = windows.mapInPandas(_decode_batches, DECODED_SCHEMA)
+    decoded = windows.mapInPandas(_make_decode_batches(weights_path),
+                                  DECODED_SCHEMA)
     return (decoded.repartition(n, F.col("url"))
             .groupBy("url").applyInPandas(_assemble_group, DOC_SCHEMA))
 
@@ -518,14 +555,19 @@ def spread_pages(pages: DataFrame, num_partitions: int | None = None,
 
 def extract_documents(pages: DataFrame,
                       num_partitions: int | None = None,
-                      staged: bool = False) -> DataFrame:
+                      staged: bool = False,
+                      weights_path: str | None = None) -> DataFrame:
     """Full extraction: all legs, one output table (``error`` column null
-    for clean docs — non-null rows are the in-pass quarantine)."""
+    for clean docs — non-null rows are the in-pass quarantine).
+    ``weights_path`` routes the raster leg through the real-model forward
+    path (operators/models.py); on a cluster ship the file with
+    ``spark-submit --files`` and pass ``SparkFiles.get(...)`` here."""
     pages = spread_pages(pages, num_partitions)
     return (extract_html_path(pages)
             .unionByName(extract_pdf_path(pages))
             .unionByName(extract_raster_path(pages, num_partitions,
-                                             staged=staged)))
+                                             staged=staged,
+                                             weights_path=weights_path)))
 
 
 def extract_documents_robust(pages: DataFrame,
