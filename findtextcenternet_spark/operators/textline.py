@@ -775,20 +775,34 @@ def create_chainid_map(P: Page, chains: list[list[int]], ratio: float = 1.0,
                 sel_y, sel_x = ya[m], xx[m]
                 free = cmap[sel_y, sel_x] < 0
                 cmap[sel_y[free], sel_x[free]] = chainid
+    # box-rect stamping: bounds computed vectorized over all chained
+    # non-ruby boxes (the per-box slice write itself stays — rects vary)
+    all_b: list[int] = []
+    all_c: list[int] = []
     for chainid, chain in enumerate(chains):
         for boxid in chain:
-            if P.is_ruby(boxid):
+            all_b.append(boxid)
+            all_c.append(chainid)
+    if all_b:
+        bb = np.asarray(all_b, dtype=np.int64)
+        cc_ids = np.asarray(all_c, dtype=np.int64)
+        keep = (P.subtype[bb] & 6) != 6
+        bb, cc_ids = bb[keep], cc_ids[keep]
+        left = np.maximum(
+            ((P.cx[bb] - P.w[bb] / 2) / SCALE).astype(np.int64), 0)
+        right = np.minimum(
+            ((P.cx[bb] + P.w[bb] / 2) / SCALE).astype(np.int64), P.W)
+        top = np.maximum(
+            ((P.cy[bb] - P.h[bb] / 2) / SCALE).astype(np.int64), 0)
+        bottom = np.minimum(
+            ((P.cy[bb] + P.h[bb] / 2) / SCALE).astype(np.int64), P.H)
+        for li, ri, ti, bi, ci in zip(left.tolist(), right.tolist(),
+                                      top.tolist(), bottom.tolist(),
+                                      cc_ids.tolist()):
+            if li >= ri or ti >= bi:
                 continue
-            left = int((P.cx[boxid] - P.w[boxid] / 2) / SCALE)
-            right = int((P.cx[boxid] + P.w[boxid] / 2) / SCALE)
-            top = int((P.cy[boxid] - P.h[boxid] / 2) / SCALE)
-            bottom = int((P.cy[boxid] + P.h[boxid] / 2) / SCALE)
-            left, right = max(0, left), min(P.W, right)
-            top, bottom = max(0, top), min(P.H, bottom)
-            if left >= right or top >= bottom:
-                continue
-            view = cmap[top:bottom, left:right]
-            view[view < 0] = chainid
+            view = cmap[ti:bi, li:ri]
+            view[view < 0] = ci
     return cmap
 
 
@@ -1507,55 +1521,51 @@ def search_ruby(P: Page, chains: list[list[int]], idimage: np.ndarray) -> None:
             continue
         sort_chain(chain, P)
         xs, ys, direction, w, h = make_track_line(P, chains, chainid, 1)
+        # vectorized band probe: per track point the walk climbs k =
+        # 1..K-1 transverse cells, stopping at the first blocker or
+        # foreign-chain cell — a per-column prefix-AND over the (K, n)
+        # cell grid; candidate extraction preserves the scalar loop's
+        # (point, k) discovery order exactly
+        horizontal = abs(direction) < M_PI_4
+        K = max(1, int((h if horizontal else w) * 1.25 / SCALE))
+        xa = np.asarray(xs, dtype=np.int64) // SCALE
+        ya = np.asarray(ys, dtype=np.int64) // SCALE
+        inb = (xa >= 0) & (xa < P.W) & (ya >= 0) & (ya < P.H)
+        xa, ya = xa[inb], ya[inb]
         ruby_boxid: list[int] = []
-        if abs(direction) < M_PI_4:
-            for xp, yp in zip(xs, ys):
-                xi, yi = xp // SCALE, yp // SCALE
-                if not (0 <= xi < P.W and 0 <= yi < P.H):
-                    continue
-                for k in range(1, max(1, int(h * 1.25 / SCALE))):
-                    yq = yi - k
-                    if yq < 0 or yq >= P.H:
-                        continue
-                    if P.lineblocker[yq, xi]:
-                        break
-                    oc = cmap.item(yq, xi)
-                    if oc >= 0 and oc != chainid:
-                        break
-                    oid = idimage.item(yq, xi)
-                    if oid < 0:
-                        continue
-                    if not P.is_ruby(int(oid)):
-                        continue
-                    if oid in ruby_boxid:
-                        continue
-                    if P.idx[oid] >= 0:
-                        continue
-                    ruby_boxid.append(int(oid))
-        else:
-            for xp, yp in zip(xs, ys):
-                xi, yi = xp // SCALE, yp // SCALE
-                if not (0 <= xi < P.W and 0 <= yi < P.H):
-                    continue
-                for k in range(1, max(1, int(w * 1.25 / SCALE))):
-                    xq = xi + k
-                    if xq < 0 or xq >= P.W:
-                        continue
-                    if P.lineblocker[yi, xq]:
-                        break
-                    oc = cmap.item(yi, xq)
-                    if oc >= 0 and oc != chainid:
-                        break
-                    oid = idimage.item(yi, xq)
-                    if oid < 0:
-                        continue
-                    if not P.is_ruby(int(oid)):
-                        continue
-                    if oid in ruby_boxid:
-                        continue
-                    if P.idx[oid] >= 0:
-                        continue
-                    ruby_boxid.append(int(oid))
+        if len(xa) and K > 1:
+            alive = np.ones(len(xa), dtype=bool)
+            cand: list[tuple[int, int, int]] = []  # (point, k, oid)
+            for k in range(1, K):
+                if horizontal:
+                    rq, cq = ya - k, xa
+                    ok = rq >= 0
+                else:
+                    rq, cq = ya, xa + k
+                    ok = cq < P.W
+                alive = alive & ok
+                if not alive.any():
+                    break
+                rr = np.where(alive, rq, 0)
+                cc = np.where(alive, cq, 0)
+                barrier = P.lineblocker[rr, cc]
+                oc = cmap[rr, cc]
+                barrier |= (oc >= 0) & (oc != chainid)
+                alive = alive & ~barrier
+                oid = idimage[rr, cc]
+                hit = alive & (oid >= 0)
+                if hit.any():
+                    ids = oid[hit].astype(np.int64)
+                    good = (((P.subtype[ids] & 6) == 6)
+                            & (P.idx[ids] < 0))
+                    for pt, o in zip(np.nonzero(hit)[0][good].tolist(),
+                                     ids[good].tolist()):
+                        cand.append((pt, k, o))
+            seen: set[int] = set()
+            for _pt, _k, o in sorted(cand):
+                if o not in seen:
+                    seen.add(o)
+                    ruby_boxid.append(o)
         for rid in ruby_boxid:
             if P.idx[rid] >= 0:
                 if rid in chains[P.idx[rid]]:
@@ -2134,6 +2144,88 @@ def process_line(P: Page, id_max: int, chains: list[list[int]],
     scanwidth = 0.5 + ALLOWWIDTH_NEXT_BLOCK
     chain_next: list[list[int]] = [[] for _ in range(id_max)]
     chain_prev: list[list[int]] = [[] for _ in range(id_max)]
+    dvals = np.array([lp.d for lp in lineparams], dtype=np.int64)
+    sizes = np.array([lp.size for lp in lineparams], dtype=np.float64)
+
+    def _scan(chainid: int, steps: np.ndarray, a: float, c1: float,
+              t1: float, horizontal: bool, K: int, lp_size: float) -> None:
+        """One scan direction, vectorized: the transverse walk per outer
+        cell is a prefix-alive pass over a (K, n) grid — barriers
+        (blocker, perpendicular line) pre-compute; accept-candidates are
+        then replayed scalar-side in exact (outer, depth) order, because
+        whether an acceptance breaks the walk depends on the mutable
+        dedup state (a seen chain lets the reference keep walking).
+        Cell-stride note: the reference steps per PIXEL
+        (make_block.cpp:67,91) but every probe is a cell lookup, so
+        SCALE-strided steps visit the identical cell sequence."""
+        if len(steps) == 0 or K <= 0:
+            return
+        t = a * (steps - c1) + t1
+        if horizontal:
+            xi = (steps / SCALE).astype(np.int64)
+            yi = (t / SCALE).astype(np.int64)
+        else:
+            xi = (t / SCALE).astype(np.int64)
+            yi = (steps / SCALE).astype(np.int64)
+        inb = (xi >= 0) & (xi < P.W) & (yi >= 0) & (yi < P.H)
+        xs_s = np.where(inb, xi, 0)
+        ys_s = np.where(inb, yi, 0)
+        blocked = inb & P.lineblocker[ys_s, xs_s]
+        nz = np.nonzero(blocked)[0]
+        cut = int(nz[0]) if len(nz) else len(steps)
+        walk = inb[:cut]
+        if not walk.any():
+            return
+        cols = xi[:cut][walk]
+        rows = yi[:cut][walk]
+        jidx = np.nonzero(walk)[0]
+        perp_d = 1 if horizontal else 2
+        alive = np.ones(len(cols), dtype=bool)
+        events: list[tuple[int, int, int]] = []
+        for k in range(K):
+            if horizontal:
+                rr, cc = rows + k, cols
+                alive = alive & (rr < P.H)
+            else:
+                rr, cc = rows, cols - k
+                alive = alive & (cc >= 0)
+            if not alive.any():
+                break
+            rr_s = np.where(alive, rr, 0)
+            cc_s = np.where(alive, cc, 0)
+            blk = alive & P.lineblocker[rr_s, cc_s]
+            oc = cmap[rr_s, cc_s]
+            foreign = alive & ~blk & (oc >= 0) & (oc != chainid)
+            if not foreign.any():
+                alive = alive & ~blk
+                continue
+            fj = np.nonzero(foreign)[0]
+            oc_f = oc[fj].astype(np.int64)
+            perp_f = dvals[oc_f] == perp_d
+            osz = sizes[oc_f]
+            denom = (np.minimum(lp_size, osz) if horizontal
+                     else np.maximum(lp_size, osz))
+            ratio = np.where(denom > 0,
+                             np.abs(osz - lp_size)
+                             / np.where(denom > 0, denom, 1.0), np.inf)
+            accept_f = ~perp_f & (ratio <= ALLOW_SIZEDIFF)
+            alive = alive & ~blk
+            if perp_f.any():
+                alive[fj[perp_f]] = False
+            for j, o in zip(fj[accept_f].tolist(),
+                            oc_f[accept_f].tolist()):
+                events.append((int(jidx[j]), k, int(o)))
+            # an acceptance only ends the walk when the chain is NEW —
+            # resolved below; deeper candidates stay collected
+        done_depth: dict[int, int] = {}
+        for j, k, oc_v in sorted(events):
+            if j in done_depth and k > done_depth[j]:
+                continue
+            if oc_v not in chain_next[chainid]:
+                chain_next[chainid].append(oc_v)
+                chain_prev[oc_v].append(chainid)
+                done_depth[j] = k
+
     for chainid in range(id_max):
         chain = chains[chainid]
         if not chain:
@@ -2156,38 +2248,12 @@ def process_line(P: Page, id_max: int, chains: list[list[int]],
             if cx2 - cx1 < SCALE:
                 continue
             a = (cy2 - cy1) / (cx2 - cx1)
-
-            # cell-stride scan: the reference steps per PIXEL
-            # (make_block.cpp:67,91) but every probe is a cell lookup, so
-            # SCALE consecutive steps repeat the same column — stepping by
-            # SCALE is the same column sequence
-            for x_iter in (range(int((cx1 + cx2) / 2), int(cx2 + s_s), SCALE),
-                           range(int((cx1 + cx2) / 2), int(cx1 - s_s),
-                                 -SCALE)):
-                for x in x_iter:
-                    y = a * (x - cx1) + cy1
-                    xi, yi = int(x / SCALE), int(y / SCALE)
-                    if not (0 <= xi < P.W and 0 <= yi < P.H):
-                        continue
-                    if P.lineblocker[yi, xi]:
-                        break
-                    for yp in range(yi, int(yi + s_s / SCALE * scanwidth)):
-                        if yp < 0 or yp >= P.H:
-                            continue
-                        if P.lineblocker[yp, xi]:
-                            break
-                        oc = cmap.item(yp, xi)
-                        if oc < 0 or oc == chainid:
-                            continue
-                        if lineparams[oc].d == 1:
-                            break
-                        if abs(lineparams[oc].size - lp.size) / \
-                                min(lp.size, lineparams[oc].size) > ALLOW_SIZEDIFF:
-                            continue
-                        if oc not in chain_next[chainid]:
-                            chain_next[chainid].append(int(oc))
-                            chain_prev[oc].append(chainid)
-                            break
+            K = int(s_s / SCALE * scanwidth)  # range(yi, int(yi+c)) length
+            mid = int((cx1 + cx2) / 2)
+            fwd = np.arange(mid, int(cx2 + s_s), SCALE, dtype=np.float64)
+            bwd = np.arange(mid, int(cx1 - s_s), -SCALE, dtype=np.float64)
+            _scan(chainid, fwd, a, cx1, cy1, True, K, lp.size)
+            _scan(chainid, bwd, a, cx1, cy1, True, K, lp.size)
         elif lp.d == 1:
             s_s = max(max(P.w[b], P.h[b]) for b in chain)
             cx1 = cy1 = cx2 = cy2 = -1.0
@@ -2205,34 +2271,15 @@ def process_line(P: Page, id_max: int, chains: list[list[int]],
             if cy2 - cy1 < SCALE:
                 continue
             a = (cx2 - cx1) / (cy2 - cy1)
-
-            for y_iter in (range(int((cy1 + cy2) / 2), int(cy2 + s_s), SCALE),
-                           range(int((cy1 + cy2) / 2), int(cy1 - s_s),
-                                 -SCALE)):
-                for y in y_iter:
-                    x = a * (y - cy1) + cx1
-                    xi, yi = int(x / SCALE), int(y / SCALE)
-                    if not (0 <= xi < P.W and 0 <= yi < P.H):
-                        continue
-                    if P.lineblocker[yi, xi]:
-                        break
-                    for xp in range(xi, int(xi - s_s / SCALE * scanwidth), -1):
-                        if xp < 0 or xp >= P.W:
-                            continue
-                        if P.lineblocker[yi, xp]:
-                            break
-                        oc = cmap.item(yi, xp)
-                        if oc < 0 or oc == chainid:
-                            continue
-                        if lineparams[oc].d == 2:
-                            break
-                        if abs(lineparams[oc].size - lp.size) / \
-                                max(lp.size, lineparams[oc].size) > ALLOW_SIZEDIFF:
-                            continue
-                        if oc not in chain_next[chainid]:
-                            chain_next[chainid].append(int(oc))
-                            chain_prev[oc].append(chainid)
-                            break
+            # range(xi, int(xi-c), -1) spans ceil(c) cells (int() truncates
+            # toward zero; out-of-page cells are masked dead in _scan)
+            c = s_s / SCALE * scanwidth
+            K = int(math.ceil(c))
+            mid = int((cy1 + cy2) / 2)
+            fwd = np.arange(mid, int(cy2 + s_s), SCALE, dtype=np.float64)
+            bwd = np.arange(mid, int(cy1 - s_s), -SCALE, dtype=np.float64)
+            _scan(chainid, fwd, a, cy1, cx1, False, K, lp.size)
+            _scan(chainid, bwd, a, cy1, cx1, False, K, lp.size)
     return chain_next, chain_prev
 
 
