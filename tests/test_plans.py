@@ -50,14 +50,23 @@ def test_topk_is_take_ordered(spark, reg):
 
 def test_no_single_partition_window_anywhere(spark, reg):
     """A Window with an empty partition spec moves the table to ONE
-    partition — banned in every registered query."""
-    for name, (fn, _sql) in reg.items():
-        df = fn(spark, SF)
-        # executed plan: look for the explicit single-partition exchange
-        # that Spark inserts for empty partition specs
-        phys = df._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange SinglePartition" not in phys, (
-            f"{name} plans a single-partition exchange")
+    partition — banned in every registered query, including the merged
+    driver-facing curated entries (their UNION legs must not smuggle one
+    in either)."""
+    from findtextcenternet_spark.plans import curated_registry
+
+    seen = set()
+    for registry in (reg, curated_registry()):
+        for name, (fn, _sql) in registry.items():
+            if name in seen:
+                continue
+            seen.add(name)
+            df = fn(spark, SF)
+            # executed plan: look for the explicit single-partition
+            # exchange that Spark inserts for empty partition specs
+            phys = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange SinglePartition" not in phys, (
+                f"{name} plans a single-partition exchange")
 
 
 def test_q1_partial_agg_and_codegen(spark, reg):
