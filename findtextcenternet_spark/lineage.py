@@ -9,13 +9,23 @@ The reference's resumability is byte-range resume in its shard downloader
   side table (url + run_id only, url-hash-clustered files);
 * a restarted job anti-joins the input against that side table and
   processes only the remainder — resume cost is O(done-set strings), not
-  a scan over everything ever written — append-only output means a crash
-  between append and commit re-extracts at most one run's remainder,
-  never duplicates within a committed run.
+  a scan over everything ever written.
 
-On Iceberg the same code path uses snapshot reads for `_done_urls` (a
-bucket(url)-partitioned table) and an atomic append; parquet directories
-stand in here (the sandbox has no catalog), with identical dataflow.
+Crash-window healing (the "never duplicates" contract): the docs append
+and the done-set append are two writes; only the docs append is the
+commit point. On every resume the done-set is RECONCILED against the set
+of committed docs run_ids (a partition listing, not a data scan): any
+run_id present in docs but missing from ``_done_urls`` — a crash between
+the two appends, or a docs dir written before the side table existed —
+has its urls backfilled from that run's pruned partition. A healed
+resume therefore never re-extracts, and duplicates cannot accumulate.
+
+Storage seam: all physical I/O goes through :class:`DocStore`.
+:class:`ParquetDirStore` is the sandbox implementation (parquet
+directories, partition dirs as commit markers); on Iceberg the same
+methods map to snapshot reads, partition metadata (``committed_run_ids``
+is a metadata-table query, no listing), and atomic multi-table commits —
+in which case the healing pass becomes a cheap no-op check.
 """
 
 from __future__ import annotations
@@ -29,79 +39,222 @@ from pyspark.sql import functions as F
 
 from .pipeline import extract_documents
 
-
-def _dir_nonempty(path: str) -> bool:
-    if not os.path.isdir(path):
-        return False
-    for root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
-
-
 # done-set file clustering: files are url-hash-clustered so a resume
 # anti-join shuffles evenly; on Iceberg this is a bucket(url) partition
 # spec and the read is a snapshot scan
 DONE_BUCKETS = 64
 
-
-def _assert_docs_layout_consistent(docs_dir: str) -> None:
-    """Refuse to resume into a docs dir mixing the pre-run_id-partition
-    layout (flat parquet files, run_id as a data column) with the
-    partitioned layout (run_id=... subdirectories): spark.read.parquet
-    over the mix fails or silently mis-resolves run_id."""
-    entries = os.listdir(docs_dir)
-    has_partition_dirs = any(e.startswith("run_id=") for e in entries)
-    has_flat_files = any(e.endswith(".parquet") for e in entries)
-    if has_partition_dirs and has_flat_files:
-        raise ValueError(
-            f"{docs_dir} mixes a legacy unpartitioned docs layout with "
-            "run_id=... partition directories; regenerate the output "
-            "directory (or migrate the flat files into run_id= partitions) "
-            "before resuming")
+LEGACY_RUN_ID = "legacy-backfill"
 
 
-def extracted_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
+def _dir_nonempty(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if "_temporary" in root:
+            continue
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+class DocStore:
+    """Physical storage for one extraction output: docs + _done_urls +
+    _quarantine + _lineage. Subclass per catalog; run_extract and the
+    resume healing logic are storage-agnostic above this interface.
+
+    Iceberg mapping (the production implementation): ``docs`` is a table
+    partitioned by run_id with a bucket(url) spec; ``committed_run_ids``
+    reads the partitions metadata table (no file listing);
+    ``read_run_urls`` is a snapshot read with a run_id partition filter;
+    ``append_docs``+``append_done`` become one atomic multi-table commit,
+    so the healing pass finds nothing to heal.
+    """
+
+    def docs_nonempty(self) -> bool:
+        raise NotImplementedError
+
+    def done_nonempty(self) -> bool:
+        raise NotImplementedError
+
+    def committed_run_ids(self) -> set[str]:
+        """run_ids whose docs append committed (partition metadata)."""
+        raise NotImplementedError
+
+    def has_legacy_flat_docs(self) -> bool:
+        """True when docs were written before run_id partitioning."""
+        raise NotImplementedError
+
+    def read_done(self) -> DataFrame:
+        raise NotImplementedError
+
+    def read_run_urls(self, run_id: str) -> DataFrame:
+        """url column of one committed run — partition-pruned."""
+        raise NotImplementedError
+
+    def read_legacy_urls(self) -> DataFrame:
+        """url column of the pre-partitioning flat docs files."""
+        raise NotImplementedError
+
+    def append_docs(self, df: DataFrame) -> None:
+        raise NotImplementedError
+
+    def append_done(self, urls: DataFrame) -> None:
+        """urls: (url, run_id) frame, appended bucket-clustered."""
+        raise NotImplementedError
+
+    def append_quarantine(self, df: DataFrame) -> None:
+        raise NotImplementedError
+
+    def append_lineage(self, df: DataFrame) -> None:
+        raise NotImplementedError
+
+    def read_lineage(self) -> DataFrame:
+        raise NotImplementedError
+
+
+class ParquetDirStore(DocStore):
+    """Parquet-directory stand-in (the sandbox has no catalog): partition
+    directories under docs/ are the commit markers (Spark's output
+    committer renames them in atomically from _temporary)."""
+
+    def __init__(self, spark: SparkSession, out_dir: str) -> None:
+        self.spark = spark
+        self.out_dir = out_dir
+        self.docs_dir = os.path.join(out_dir, "docs")
+        self.done_dir = os.path.join(out_dir, "_done_urls")
+        self.quarantine_dir = os.path.join(out_dir, "_quarantine")
+        self.lineage_dir = os.path.join(out_dir, "_lineage")
+
+    def docs_nonempty(self) -> bool:
+        return _dir_nonempty(self.docs_dir)
+
+    def done_nonempty(self) -> bool:
+        return _dir_nonempty(self.done_dir)
+
+    def committed_run_ids(self) -> set[str]:
+        if not os.path.isdir(self.docs_dir):
+            return set()
+        out = set()
+        for e in os.listdir(self.docs_dir):
+            if e.startswith("run_id=") and _dir_nonempty(
+                    os.path.join(self.docs_dir, e)):
+                out.add(e.split("=", 1)[1])
+        return out
+
+    def has_legacy_flat_docs(self) -> bool:
+        if not os.path.isdir(self.docs_dir):
+            return False
+        return any(e.endswith(".parquet")
+                   for e in os.listdir(self.docs_dir))
+
+    def read_done(self) -> DataFrame:
+        return self.spark.read.parquet(self.done_dir)
+
+    def read_run_urls(self, run_id: str) -> DataFrame:
+        # read the partition directory itself: pruned by construction,
+        # and immune to the mixed flat/partitioned layout that breaks
+        # partition inference over the whole dir
+        part = os.path.join(self.docs_dir, f"run_id={run_id}")
+        return self.spark.read.parquet(part).select("url")
+
+    def read_legacy_urls(self) -> DataFrame:
+        flat = [os.path.join(self.docs_dir, e)
+                for e in os.listdir(self.docs_dir)
+                if e.endswith(".parquet")]
+        return self.spark.read.parquet(*flat).select("url")
+
+    def append_docs(self, df: DataFrame) -> None:
+        df.write.mode("append").partitionBy("run_id").parquet(self.docs_dir)
+
+    def append_done(self, urls: DataFrame) -> None:
+        (urls.repartition(DONE_BUCKETS, "url")
+         .write.mode("append").parquet(self.done_dir))
+
+    def append_quarantine(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.quarantine_dir)
+
+    def append_lineage(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.lineage_dir)
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_dir)
+
+
+def _settled_urls(store: DocStore, heal: bool) -> DataFrame | None:
     """Urls already settled in the output — extracted OR quarantined (a
     poison page is quarantined exactly once per output directory, never
     re-validated on every resume).
 
-    Reads the compact ``_done_urls`` side table (url + run_id only) that
-    every run appends — O(done-set string column), never a scan over the
-    full docs table. Output dirs written before the side table existed
-    fall back to a url-only column-pruned docs scan."""
-    done_dir = os.path.join(out_dir, "_done_urls")
-    if _dir_nonempty(done_dir):
-        return spark.read.parquet(done_dir).select("url")
-    docs_dir = os.path.join(out_dir, "docs")
-    if not _dir_nonempty(docs_dir):
+    Reconciles the compact ``_done_urls`` side table against the
+    committed docs run_ids: any run committed to docs but absent from
+    the side table (crash between the two appends, or a pre-side-table
+    output dir) contributes its urls from a partition-pruned read — and,
+    with ``heal=True``, is backfilled into ``_done_urls`` so the NEXT
+    resume is O(done-set) again. Returns None when nothing is settled.
+    """
+    docs_any = store.docs_nonempty()
+    done_any = store.done_nonempty()
+    if not docs_any and not done_any:
         return None
-    _assert_docs_layout_consistent(docs_dir)
-    return spark.read.parquet(docs_dir).select("url")
+
+    done = store.read_done().select("url", "run_id") if done_any else None
+    done_ids = (set() if done is None else
+                {r[0] for r in done.select("run_id").distinct().collect()})
+
+    missing = store.committed_run_ids() - done_ids
+    backfills = [store.read_run_urls(rid).withColumn("run_id", F.lit(rid))
+                 for rid in sorted(missing)]
+    if store.has_legacy_flat_docs() and LEGACY_RUN_ID not in done_ids:
+        backfills.append(store.read_legacy_urls()
+                         .withColumn("run_id", F.lit(LEGACY_RUN_ID)))
+
+    if not backfills:
+        return done.select("url") if done is not None else None
+
+    missing_urls = backfills[0]
+    for b in backfills[1:]:
+        missing_urls = missing_urls.unionByName(b)
+    if heal:
+        # distinct() so a legacy url later re-extracted into a healed run
+        # (possible only across a pre-healing crash) lands once
+        store.append_done(missing_urls.distinct())
+        healed = store.read_done().select("url")
+        return healed
+    union = missing_urls.select("url")
+    if done is not None:
+        union = union.unionByName(done.select("url"))
+    return union
+
+
+def extracted_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Read-only view of the settled urls (see ``_settled_urls``): the
+    ``_done_urls`` side table unioned with any committed-but-unrecorded
+    runs. Does not write; ``run_extract`` heals on resume."""
+    return _settled_urls(ParquetDirStore(spark, out_dir), heal=False)
 
 
 def run_extract(pages: DataFrame, out_dir: str,
                 run_id: str | None = None,
-                num_partitions: int | None = None) -> dict:
+                num_partitions: int | None = None,
+                store: DocStore | None = None) -> dict:
     """One resumable extraction run — single pass, no full-output rescans.
 
-    Anti-joins pages already present in ``out_dir/docs`` (resume), runs
-    the extraction pipeline (poison pills become in-pass error rows, never
-    task failures), and appends the combined frame ONCE, partitioned by
-    run_id — so the per-run read-backs below prune to this run's partition
-    instead of scanning everything ever written (the 100 TB killer).
-    Error rows stay in the docs table (filter ``error IS NULL`` for clean
-    docs) and are mirrored to ``_quarantine`` for ops; one lineage row per
-    output partition goes to ``_lineage``.
+    Anti-joins pages already settled (resume, with done-set healing —
+    see module docstring), runs the extraction pipeline (poison pills
+    become in-pass error rows, never task failures), pins the combined
+    frame once (localCheckpoint — the docs write, done-set, quarantine
+    and lineage all derive from the SAME materialization; nothing
+    re-reads the docs table, the 100 TB listing killer), and appends:
+    docs (the commit point), then _done_urls, then _quarantine/_lineage.
+    A crash after the docs append is healed by the next resume's
+    reconciliation — no re-extraction, no duplicates.
     """
     spark = pages.sparkSession
+    store = store or ParquetDirStore(spark, out_dir)
     run_id = run_id or uuid.uuid4().hex[:12]
-    docs_dir = os.path.join(out_dir, "docs")
-    lineage_dir = os.path.join(out_dir, "_lineage")
-    quarantine_dir = os.path.join(out_dir, "_quarantine")
-    done_dir = os.path.join(out_dir, "_done_urls")
 
-    done = extracted_urls(spark, out_dir)
+    done = _settled_urls(store, heal=True)
     todo = pages if done is None else pages.join(done, "url", "left_anti")
 
     t0 = time.time()
@@ -109,45 +262,47 @@ def run_extract(pages: DataFrame, out_dir: str,
     out = (combined
            .withColumn("part_id", F.spark_partition_id())
            .withColumn("run_id", F.lit(run_id)))
-    out.write.mode("append").partitionBy("run_id").parquet(docs_dir)
-    wall = time.time() - t0
+    # pin ONE materialization: part_id comes from spark_partition_id, so
+    # every consumer below must see the same physical run, and the docs
+    # write must not recompute the extraction a second time. On Iceberg
+    # the equivalent is write-then-snapshot-read; here localCheckpoint
+    # keeps the run's output on executor-local disk for its 3 consumers.
+    out = out.localCheckpoint(eager=True)
+    try:
+        store.append_docs(out)
+        wall = time.time() - t0
 
-    # read back THIS run only — partition pruning on run_id
-    this_run = (spark.read.parquet(docs_dir)
-                .filter(F.col("run_id") == run_id))
+        # this run's settled urls (docs AND quarantine rows) → compact
+        # done-set side table: resume reads O(done-set), one string
+        # column, instead of the url column of everything ever written
+        store.append_done(out.select("url")
+                          .withColumn("run_id", F.lit(run_id)))
 
-    # append this run's settled urls (docs AND quarantine rows) to the
-    # compact done-set side table: resume then reads O(done-set), one
-    # string column, instead of the url column of everything ever written
-    (this_run.select("url")
-     .withColumn("run_id", F.lit(run_id))
-     .repartition(DONE_BUCKETS, "url")
-     .write.mode("append").parquet(done_dir))
-    quarantine = this_run.filter(F.col("error").isNotNull())
-    n_quarantined = quarantine.count()
-    if n_quarantined:
-        (quarantine.select("url", "error", "run_id")
-         .write.mode("append").parquet(quarantine_dir))
+        quarantine = out.filter(F.col("error").isNotNull())
+        n_quarantined = quarantine.count()
+        if n_quarantined:
+            store.append_quarantine(
+                quarantine.select("url", "error", "run_id"))
 
-    good = this_run.filter(F.col("error").isNull())
-    lineage = (good.groupBy("part_id")
-               .agg(F.count("*").alias("n_docs"),
-                    F.sum(F.length("text")).alias("text_bytes"),
-                    F.sum(F.when(F.col("path") == "raster", 1).otherwise(0))
-                    .alias("n_raster"))
-               .withColumn("run_id", F.lit(run_id))
-               .withColumn("wall_sec", F.lit(round(wall, 3)))
-               .withColumn("committed_at", F.current_timestamp()))
-    lineage.write.mode("append").parquet(lineage_dir)
-    lin_rows = (spark.read.parquet(lineage_dir)
-                .filter(F.col("run_id") == run_id)
-                .agg(F.sum("n_docs")).collect())
-    n_docs = int(lin_rows[0][0] or 0)
+        good = out.filter(F.col("error").isNull())
+        lineage = (good.groupBy("part_id")
+                   .agg(F.count("*").alias("n_docs"),
+                        F.sum(F.length("text")).alias("text_bytes"),
+                        F.sum(F.when(F.col("path") == "raster", 1)
+                              .otherwise(0)).alias("n_raster"))
+                   .withColumn("run_id", F.lit(run_id))
+                   .withColumn("wall_sec", F.lit(round(wall, 3)))
+                   .withColumn("committed_at", F.current_timestamp()))
+        store.append_lineage(lineage)
+        n_docs = good.count()
+    finally:
+        out.unpersist()
     return {"run_id": run_id, "n_docs": n_docs,
             "n_quarantined": n_quarantined, "wall_sec": round(wall, 3),
-            "docs_dir": docs_dir, "lineage_dir": lineage_dir,
-            "quarantine_dir": quarantine_dir}
+            "docs_dir": os.path.join(out_dir, "docs"),
+            "lineage_dir": os.path.join(out_dir, "_lineage"),
+            "quarantine_dir": os.path.join(out_dir, "_quarantine")}
 
 
 def lineage_table(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "_lineage"))
+    return ParquetDirStore(spark, out_dir).read_lineage()

@@ -485,7 +485,7 @@ def detect_page_real(layout: dict, model) -> tuple[pd.DataFrame, pd.DataFrame]:
     tiles = np.stack([
         img[oy * SCALE:oy * SCALE + TILE_PX, ox * SCALE:ox * SCALE + TILE_PX]
         for oy in oys for ox in oxs])
-    heat, feats = model.forward_tiles(tiles)  # (B,11,192,192), (B,100,·,·)
+    heat, feats = model.forward_tiles(tiles)  # (B,10,192,192), (B,100,·,·)
 
     page = np.full((heat.shape[1], hc_all, wc_all), -np.inf,
                    dtype=np.float32)

@@ -4,7 +4,7 @@ plug point VERDICT r2 flagged as never exercised).
 Mirrors the reference's tensor contract exactly:
 
 * detector — ``forward_tiles(tiles (B,768,768,3) uint8) ->
-  (heatmap (B,11,192,192) float32, features (B,100,192,192) float16)``
+  (heatmap (B,10,192,192) float32, features (B,100,192,192) float16)``
   with heatmap channels ``[keymap, peakmap(3x3-NMS'd keymap), size_x,
   size_y, textline, separator, code1, code2, code4, code8]`` — the
   ``CenterNetDetector`` output (models/detector.py:217-230,
@@ -41,7 +41,12 @@ except ImportError:  # pragma: no cover - environment-dependent
 
 TILE_PX = HM * SCALE          # 768
 ENCODER_DIM = FEATURE_DIM + 6  # 106
-N_MAPS = 10                    # keymap, szx, szy, line, sep, code1..8
+# raw CenterNet maps, exactly the reference's output list
+# (models/detector.py:289-296); the peak wrap below adds the 3x3-NMS'd
+# keymap channel, making the transported heatmap N_MAPS + 1 = 10 channels
+RAW_MAPS = ("keymap", "size_x", "size_y", "textline", "separator",
+            "code1", "code2", "code4", "code8")
+N_MAPS = len(RAW_MAPS)         # 9
 HIDDEN = 16
 
 
@@ -175,6 +180,13 @@ class NumpyResidueHeads:
 
 def load_detector(weights_path: str):
     npz = np.load(weights_path)
+    got = npz["conv2_w"].shape[0]
+    if got != N_MAPS + FEATURE_DIM:
+        raise ValueError(
+            f"detector checkpoint emits {got} channels; expected "
+            f"{N_MAPS} maps ({', '.join(RAW_MAPS)}) + {FEATURE_DIM} "
+            "features — a checkpoint converted at different shapes would "
+            "silently shift every feature channel")
     cls = TorchDetector if torch is not None else NumpyDetector
     return cls(npz)
 

@@ -41,17 +41,152 @@ def encode_media(kind: int, width: int, height: int, n_frames: int = 1,
     return MAGIC + _HDR.pack(kind, width, height, n_frames) + payload.tobytes()
 
 
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int
+                  ) -> np.ndarray:
+    """Reverse the five PNG row filters (RFC 2083 §6): raw is the
+    inflated stream, rows of 1 filter byte + ``stride`` pixel bytes."""
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        row = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, dtype=np.int32)
+        if ft == 0:                         # None
+            out[y] = row
+        elif ft == 2:                       # Up
+            out[y] = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):               # Sub / Average / Paeth:
+            # left-neighbor recurrence — sequential in x by definition
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+            out[y] = cur
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+    return out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Baseline PNG decode, stdlib zlib + NumPy only: 8-bit depth, all
+    five row filters, gray/RGB/palette/alpha color types, non-interlaced.
+    Returns an (h, w, channels) uint8 array."""
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, plte, hdr = 8, [], None, None
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+        typ = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"baseline PNG decoder: depth={depth} colortype={ctype} "
+            f"interlace={interlace} unsupported (8-bit non-interlaced only)")
+    ch = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    img = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Baseline BMP decode: uncompressed BI_RGB 8/24/32-bit, bottom-up or
+    top-down. Returns (h, w, channels) uint8 (BGR order as stored)."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", blob[10:14])
+    w, h = struct.unpack("<ii", blob[18:26])
+    (bpp,) = struct.unpack("<H", blob[28:30])
+    (comp,) = struct.unpack("<I", blob[30:34])
+    if comp != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError(
+            f"baseline BMP decoder: compression={comp} bpp={bpp} "
+            "unsupported (BI_RGB 8/24/32 only)")
+    top_down, h = h < 0, abs(h)
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(blob[off:off + stride * h], dtype=np.uint8)
+    img = rows.reshape(h, stride)[:, :w * ch].reshape(h, w, ch)
+    return img if top_down else img[::-1].copy()
+
+
+def decode_pnm(blob: bytes) -> np.ndarray:
+    """Baseline binary PGM (P5) / PPM (P6) decode."""
+    parts = blob.split(maxsplit=4)
+    if parts[0] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM")
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval > 255:
+        raise NotImplementedError("baseline PNM decoder: 8-bit only")
+    ch = 3 if parts[0] == b"P6" else 1
+    data = parts[4][:w * h * ch] if len(parts) > 4 else b""
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch)
+
+
+def decode_image_bytes(blob: bytes) -> np.ndarray:
+    """Real-bytes image decode: PIL when installed, else the stdlib
+    baseline decoders above (PNG/BMP/PNM). Raises NotImplementedError
+    only for genuinely exotic codecs (JPEG/WEBP/... without PIL)."""
+    try:  # full codec coverage when available
+        import io
+
+        import PIL.Image
+        return np.asarray(PIL.Image.open(io.BytesIO(blob)))
+    except ImportError:
+        pass
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(blob)
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    if blob[:2] in (b"P5", b"P6"):
+        return decode_pnm(blob)
+    raise NotImplementedError(
+        "no codec for this format: baseline decoders cover PNG (8-bit, "
+        "non-interlaced), BMP (BI_RGB) and binary PNM; install PIL for "
+        "JPEG/WEBP/TIFF")
+
+
 def _decode(blob: bytes) -> tuple[int, int, int, int, np.ndarray]:
-    """Parse header + payload. A production build replaces ONLY this
-    function (e.g. PIL.Image.open / soundfile / pyav behind the guard)."""
+    """Parse header + payload: the MM01 fixture format fast-path, else the
+    real-bytes image decoders (decode_image_bytes). Payload is the flat
+    uint8 pixel/sample stream either way — everything downstream
+    (histogram features, meta, resize planning) is codec-agnostic."""
     if blob[:4] != MAGIC:
-        try:  # real codec path, absent in this sandbox
-            import PIL.Image  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                "non-fixture media needs an image codec (PIL/pyav); "
-                "not installed in this environment")
-        raise NotImplementedError("real codec path not wired yet")
+        img = decode_image_bytes(bytes(blob))
+        h, w = img.shape[:2]
+        return KIND_IMAGE, w, h, 1, img.reshape(-1)
     kind, w, h, nf = _HDR.unpack(blob[4:4 + _HDR.size])
     payload = np.frombuffer(blob[4 + _HDR.size:], dtype=np.uint8)
     return kind, w, h, nf, payload

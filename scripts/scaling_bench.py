@@ -102,6 +102,12 @@ def run_mix(cache: str, zpath: str, tag: str, n_docs: int,
     est = _median if estimator == "median" else max
     dps_n = est([r["docs_per_sec"] for r in rn])
     dps_4n = est([r["docs_per_sec"] for r in r4n])
+    # BOTH estimators always recorded (VERDICT r3: keep medians alongside
+    # best-of so rounds stay comparable if host-steal behavior changes)
+    med_n = _median([r["docs_per_sec"] for r in rn])
+    med_4n = _median([r["docs_per_sec"] for r in r4n])
+    best_n = max(r["docs_per_sec"] for r in rn)
+    best_4n = max(r["docs_per_sec"] for r in r4n)
     hashes = {r["parity_hash"] for r in rn + r4n}
     rows_ok = all(r["rows"] == n_docs for r in rn + r4n)
     return {
@@ -115,9 +121,26 @@ def run_mix(cache: str, zpath: str, tag: str, n_docs: int,
         "all_dps_n": [r["docs_per_sec"] for r in rn],
         "all_dps_4n": [r["docs_per_sec"] for r in r4n],
         "scaling_efficiency": round(dps_4n / (4.0 * dps_n), 3),
+        "eff_median": round(med_4n / (4.0 * med_n), 3),
+        "eff_best": round(best_4n / (4.0 * best_n), 3),
         "parity_identical": len(hashes) == 1 and rows_ok,
         "parity_hash": rn[0]["parity_hash"],
     }
+
+
+def run_mp_control(tag: str, workers: list[int]) -> dict:
+    """The box's own multiprocessing ceiling on the SAME corpus shape
+    (scripts/mp_control.py) — the scaling target each Spark row is graded
+    against is a measured number, not a guess."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import mp_control
+    pages = mp_control.corpus_path(tag)
+    out = mp_control.measure(pages, workers)
+    ws = sorted(out)
+    eff = {}
+    for lo, hi in zip(ws, ws[1:]):
+        eff[f"{lo}->{hi}"] = round(out[hi] / (out[lo] * hi / lo), 3)
+    return {"tag": tag, "docs_per_sec": out, "efficiency": eff}
 
 
 def main() -> int:
@@ -139,7 +162,12 @@ def main() -> int:
     mixed = run_mix(cache, zpath, "mixed", n_docs, 0.2, 0.1, interleave=2,
                     estimator="best")
 
+    # the box's own mp ceilings on both corpus shapes — the graded target
+    control = {"raster": run_mp_control("raster", [2, 8, 32]),
+               "mixed": run_mp_control("mixed", [8, 32])}
+
     summary = {"headline": headline, "raster": raster, "mixed": mixed,
+               "control": control,
                "date": datetime.date.today().isoformat()}
     with open(os.path.join(cache, "scaling.json"), "w") as f:
         json.dump(summary, f)
@@ -153,10 +181,14 @@ def write_bench_md(summary, n_docs: int) -> None:
     headline, raster, mixed = (summary["headline"], summary["raster"],
                                summary["mixed"])
     bench_md = os.path.join(REPO, "BENCH.md")
+    control = summary.get("control", {})
     rows = []
     for m in (headline, raster, mixed):
         spread_n = ", ".join(f"{x:.0f}" for x in sorted(m["all_dps_n"]))
         spread_4n = ", ".join(f"{x:.0f}" for x in sorted(m["all_dps_4n"]))
+        ctl = control.get(m["tag"], {})
+        ctl_eff = (ctl.get("efficiency", {})
+                   .get(f"{m['n_cores']}->{m['n4_cores']}", "—"))
         rows.append(
             f"| {m['tag']} (raster_frac={m['raster_frac']}) | {m['n_docs']} "
             f"| local[{m['n_cores']}]→local[{m['n4_cores']}] "
@@ -164,6 +196,8 @@ def write_bench_md(summary, n_docs: int) -> None:
             f"| {m['docs_per_sec_n']} [{spread_n}] "
             f"| {m['docs_per_sec_4n']} [{spread_4n}] "
             f"| **{m['scaling_efficiency']}** "
+            f"| {m.get('eff_median', '—')} / {m.get('eff_best', '—')} "
+            f"| {ctl_eff} "
             f"| {'IDENTICAL' if m['parity_identical'] else 'MISMATCH'} |")
     table = "\n".join(rows)
     with open(bench_md, "w") as f:
@@ -184,17 +218,18 @@ lands in a steal window with ~coin-flip odds, making affordable-rep
 medians bimodal, and best-of is the standard steal-rejection estimator
 of machine capability (it is also what round 2's best-of-2-in-one-JVM
 protocol reported, keeping rounds comparable). Throughput = docs / wall.
+The efficiency column uses the row's chosen estimator; the
+median/best column always reports BOTH so rounds stay comparable if
+steal behavior changes (the per-rep data is in the brackets).
 Control: the same per-page kernels in a plain multiprocessing pool
-(`scripts/mp_control.py`) — the box's own parallel ceiling at each level.
-Measured this round on the all-raster corpus (good host window): 2 procs
-49.8, 8 procs 176.5, 32 procs 463.8 docs/s → control efficiency 0.89 at
-2→8 and 0.66 at 8→32. After the round-3 kernel vectorization the Spark
-pipeline sits AT that ceiling: raster 8→32 best-of 0.660 vs the
-control's 0.657, and the 8-core side runs at ~97% of the control's
-absolute 8-worker rate — the remaining 8→32 gap is the box's shared
-DRAM, not the architecture. The mixed row is a floor measurement (cheap
-surrogate pages → fixed per-stage costs dominate at 32 workers); its
-absolute 32-core capability measured 1144-1605 docs/s across windows.
+(`scripts/mp_control.py`) — the box's own parallel ceiling measured on
+the SAME corpus shape as each row (raster control
+{control.get('raster', {}).get('docs_per_sec', {})} docs/s, mixed control
+{control.get('mixed', {}).get('docs_per_sec', {})} docs/s by worker
+count; efficiencies {control.get('raster', {}).get('efficiency', {})} and
+{control.get('mixed', {}).get('efficiency', {})}). A Spark row at or
+above its mp-control efficiency means the remaining scaling gap is the
+box (shared DRAM, KVM steal), not the architecture.
 Parity = order-insensitive `bit_xor(xxhash64(url, text))` over all
 extracted docs — byte-identical text per url at both cluster sizes.
 
@@ -213,8 +248,8 @@ Rows, top = headline:
   with the cheap surrogate most pages cost microseconds, so fixed per-stage
   costs dominate — a floor measurement.
 
-| corpus | docs | N→4N | estimator | N docs/s [reps] | 4N docs/s [reps] | efficiency | parity |
-|---|---|---|---|---|---|---|---|
+| corpus | docs | N→4N | estimator | N docs/s [reps] | 4N docs/s [reps] | efficiency | eff median/best | mp control eff | parity |
+|---|---|---|---|---|---|---|---|---|---|
 {table}
 
 Target ≥ 0.8 (BASELINE.json north_rule). Measured {summary['date']};

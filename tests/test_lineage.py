@@ -115,12 +115,12 @@ def test_resume_reads_compact_done_set_urls_only(spark, tmp_path):
         assert heavy not in read
 
 
-def test_mixed_docs_layout_detected_on_resume(spark, tmp_path):
-    """A docs dir mixing the legacy flat layout (run_id as data column)
-    with run_id=... partition dirs must fail fast with a clear error, not
-    mis-resolve run_id (ADVICE r2)."""
-    import pytest as _pytest
-
+def test_mixed_docs_layout_unioned_on_resume(spark, tmp_path):
+    """A docs dir mixing the legacy flat layout (pre-side-table, run_id as
+    data column) with run_id=... partition dirs must resolve BOTH layers:
+    legacy files are read by explicit path, partitioned runs per-partition
+    — never a whole-dir read whose partition inference would mis-resolve
+    run_id (ADVICE r2/r3)."""
     from findtextcenternet_spark.lineage import extracted_urls
 
     out_dir = str(tmp_path / "extracted6")
@@ -129,12 +129,102 @@ def test_mixed_docs_layout_detected_on_resume(spark, tmp_path):
     legacy = spark.createDataFrame(
         [("https://a.example.org/1", "old-run")], "url string, run_id string")
     legacy.write.parquet(docs_dir)
-    # new layout appended into the same dir
+    # new layout appended into the same dir (crashed before its done append)
     (spark.createDataFrame([("https://a.example.org/2", "new-run")],
                            "url string, run_id string")
      .write.mode("append").partitionBy("run_id").parquet(docs_dir))
-    with _pytest.raises(ValueError, match="legacy unpartitioned"):
-        extracted_urls(spark, out_dir)
+    done = extracted_urls(spark, out_dir)
+    assert {r[0] for r in done.collect()} == {
+        "https://a.example.org/1", "https://a.example.org/2"}
+
+
+def test_legacy_dir_two_resumes_no_duplicates(spark, tmp_path):
+    """ADVICE r3 (high): an output dir written before ``_done_urls``
+    existed must survive TWO resumes without re-extracting — the first
+    post-upgrade run must backfill the legacy urls into the side table,
+    or the second resume's anti-join (which prefers the now-non-empty
+    side table) silently duplicates every legacy doc."""
+    import shutil
+
+    out_dir = str(tmp_path / "legacy")
+    all_pages = pages_from_pandas(spark, generate_pages(50))
+
+    # simulate a pre-side-table run: run normally, then delete _done_urls
+    run_extract(all_pages.limit(30), out_dir, run_id="old", num_partitions=4)
+    shutil.rmtree(out_dir + "/_done_urls")
+
+    # first post-upgrade resume: extracts only the remaining 20 and
+    # backfills the 30 legacy urls into the side table
+    r1 = run_extract(all_pages, out_dir, run_id="up1", num_partitions=4)
+    assert r1["n_docs"] == 20
+    done = spark.read.parquet(out_dir + "/_done_urls")
+    assert done.select("url").distinct().count() == 50
+
+    # second resume: nothing to do, nothing duplicated
+    r2 = run_extract(all_pages, out_dir, run_id="up2", num_partitions=4)
+    assert r2["n_docs"] == 0
+    docs = spark.read.parquet(out_dir + "/docs")
+    assert docs.count() == 50
+    assert docs.select("url").distinct().count() == 50
+
+
+def test_crash_between_docs_and_done_appends_healed(spark, tmp_path):
+    """ADVICE r3 (medium): the docs append and the done append are two
+    non-atomic writes. A crash between them (simulated by deleting the
+    run's done rows) must NOT re-extract that run on resume — the healing
+    pass reconciles committed docs run_ids against the side table and
+    backfills from the pruned partition."""
+    import shutil
+
+    out_dir = str(tmp_path / "crashwin")
+    all_pages = pages_from_pandas(spark, generate_pages(40))
+
+    run_extract(all_pages.limit(25), out_dir, run_id="a", num_partitions=4)
+    # crash window: run "a" committed docs but its done rows vanish
+    shutil.rmtree(out_dir + "/_done_urls")
+    # ...and a later run "b" committed normally
+    r_b = run_extract(all_pages.limit(30), out_dir, run_id="b",
+                      num_partitions=4)
+    assert r_b["n_docs"] == 5  # only the 5 new pages — "a" was healed
+
+    r_c = run_extract(all_pages, out_dir, run_id="c", num_partitions=4)
+    assert r_c["n_docs"] == 10
+    docs = spark.read.parquet(out_dir + "/docs")
+    assert docs.count() == 40
+    assert docs.select("url").distinct().count() == 40
+    # healing also restored the side table to full coverage
+    done = spark.read.parquet(out_dir + "/_done_urls")
+    assert done.select("url").distinct().count() == 40
+
+
+def test_run_extract_never_rereads_docs_dir(spark, tmp_path, monkeypatch):
+    """VERDICT r3 item 5: the done-set/quarantine/lineage of a run derive
+    from the pinned in-memory frame, never a re-list + re-read of the
+    docs directory (a per-run full listing at 100 TB)."""
+    from findtextcenternet_spark import lineage as L
+
+    out_dir = str(tmp_path / "noreread")
+    pages = pages_from_pandas(spark, generate_pages(15))
+
+    reads = []
+    orig = L.ParquetDirStore.read_run_urls
+
+    def spy(self, run_id):
+        reads.append(run_id)
+        return orig(self, run_id)
+
+    monkeypatch.setattr(L.ParquetDirStore, "read_run_urls", spy)
+    real_read = spark.read.parquet
+
+    def guard(*paths):
+        assert not any(p.rstrip("/").endswith("/docs") for p in paths), \
+            "run_extract must not read the whole docs dir"
+        return real_read(*paths)
+
+    monkeypatch.setattr(spark.read, "parquet", guard)
+    r = run_extract(pages, out_dir, run_id="x", num_partitions=4)
+    assert r["n_docs"] == 15
+    assert reads == []  # no healing reads needed on a clean run either
 
 
 def test_binary_junk_html_extracts_empty_not_fatal(spark, tmp_path):

@@ -25,7 +25,7 @@ def weights(tmp_path_factory):
 
 
 def test_detector_output_contract(weights):
-    """forward_tiles honors the CenterNetDetector contract: 11 heatmap
+    """forward_tiles honors the CenterNetDetector contract: 10 heatmap
     channels (keymap + 3x3-NMS'd peak + sizes + line + sep + 4 codes)
     float32 and 100 fp16 feature channels at 1/4 resolution
     (models/detector.py:203-230)."""
@@ -35,7 +35,7 @@ def test_detector_output_contract(weights):
     t0 = time.time()
     heat, feats = det.forward_tiles(tiles)
     assert time.time() - t0 < 10.0, "tiny forward must be fast"
-    assert heat.shape == (2, 11, 192, 192) and heat.dtype == np.float32
+    assert heat.shape == (2, 10, 192, 192) and heat.dtype == np.float32
     assert feats.shape == (2, 100, 192, 192) and feats.dtype == np.float16
     # channel 1 is the NMS'd keymap: equal to keymap at local maxima,
     # -inf elsewhere
