@@ -595,6 +595,30 @@ def find_linecenter_id(P: Page, chains: list[list[int]], chainid: int):
     return sel, direction, w, h, s_cx, s_cy, e_cx, e_cy
 
 
+def _interp_samples(p1, q1, p2, q2):
+    """Vectorized polyline sampling — exact equivalent of the scalar
+    per-segment walk ``xp = int(p1); while xp < p2: emit (xp,
+    int((xp - p1) * a + q1)); xp += SCALE`` over all segments at once
+    (same truncation-toward-zero semantics via astype(int64))."""
+    p1 = np.asarray(p1, dtype=np.float64)
+    q1 = np.asarray(q1, dtype=np.float64)
+    p2 = np.asarray(p2, dtype=np.float64)
+    q2 = np.asarray(q2, dtype=np.float64)
+    valid = p2 != p1
+    a = np.where(valid, (q2 - q1) / np.where(valid, p2 - p1, 1.0), 0.0)
+    ip1 = p1.astype(np.int64)
+    n = np.ceil((p2 - ip1) / SCALE).astype(np.int64)
+    n = np.where(valid, np.maximum(n, 0), 0)
+    total = int(n.sum())
+    if total == 0:
+        return [], []
+    k_idx = np.arange(total) - np.repeat(np.cumsum(n) - n, n)
+    p_all = np.repeat(ip1, n) + SCALE * k_idx
+    q_all = ((p_all - np.repeat(p1, n)) * np.repeat(a, n)
+             + np.repeat(q1, n)).astype(np.int64)
+    return p_all.tolist(), q_all.tolist()
+
+
 def make_track_line(P: Page, chains: list[list[int]], chainid: int,
                     extra_len: int = 0):
     """Center track polyline of a chain, sampled every SCALE px
@@ -645,16 +669,9 @@ def make_track_line(P: Page, chains: list[list[int]], chainid: int,
             xs.extend(reversed(head_x))
             ys.extend(reversed(head_y))
 
-        for k in range(len(xi) - 1):
-            x1, y1, x2, y2 = xi[k], yi[k], xi[k + 1], yi[k + 1]
-            if x2 == x1:
-                continue
-            a = (y2 - y1) / (x2 - x1)
-            xp = int(x1)
-            while xp < x2:
-                xs.append(xp)
-                ys.append(int((xp - x1) * a + y1))
-                xp += SCALE
+        px, py = _interp_samples(xi[:-1], yi[:-1], xi[1:], yi[1:])
+        xs.extend(px)
+        ys.extend(py)
 
         if extra_len > 0 and len(xi) >= 2:
             x1, y1 = xi[-2], yi[-2]
@@ -710,16 +727,9 @@ def make_track_line(P: Page, chains: list[list[int]], chainid: int,
             xs.extend(reversed(head_x))
             ys.extend(reversed(head_y))
 
-        for k in range(len(yi) - 1):
-            x1, y1, x2, y2 = xi[k], yi[k], xi[k + 1], yi[k + 1]
-            if y2 == y1:
-                continue
-            a = (x2 - x1) / (y2 - y1)
-            yp = int(y1)
-            while yp < y2:
-                xs.append(int((yp - y1) * a + x1))
-                ys.append(yp)
-                yp += SCALE
+        py, px = _interp_samples(yi[:-1], xi[:-1], yi[1:], xi[1:])
+        xs.extend(px)
+        ys.extend(py)
 
         if extra_len > 0 and len(yi) >= 2:
             x1, y1 = xi[-2], yi[-2]

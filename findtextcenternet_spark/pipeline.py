@@ -498,14 +498,31 @@ def _coalesce_cheap_legs(spread: DataFrame) -> DataFrame:
 
     The HTML/PDF kernels cost microseconds per page, so at the raster
     leg's 4-tasks-per-core spread the fixed per-task cost (Python worker
-    round-trip, Arrow batch setup) dominates them on a mixed web-shape
-    corpus. ``coalesce`` to one task per core is a NARROW merge of the
-    post-shuffle partitions — the spread exchange itself is unchanged and
-    still reused by the raster leg (plan-asserted in test_plans.py);
-    each cheap task just reads 4 shuffle partitions. Measured at
-    local[32] on the 20k mixed corpus: html leg 2.26s → 0.98s."""
+    round-trip, Arrow batch setup) could dominate them on a mixed
+    web-shape corpus. ``coalesce`` to N tasks per core is a NARROW merge
+    of the post-shuffle partitions — no new exchange; each cheap task
+    reads several shuffle partitions.
+
+    Measured (20-30k mixed docs, interleaved fresh-JVM A/B): the
+    isolated html stage gains 2.3x from coalesce(cores) at local[32],
+    but in the full union the cheap tasks overlap the raster stage, so
+    end-to-end the variants are a wash at 8 cores (850 vs 826 docs/s)
+    and fine grain wins best-of at 32 (1352 vs 1020 — coarse 1-2 s tasks
+    straggle in this guest's steal windows). The default is therefore
+    OFF: the union already hides the per-task cost, and Spark's
+    Arrow-vectorized cheap legs beat the same kernels in a plain
+    process pool at BOTH levels (843 vs 504 docs/s at 8 workers, 1352
+    vs 1288 at 32 — scripts/mp_control.py mixed). Set
+    ``SPARK_GRAFT_CHEAP_TASKS_PER_CORE=1`` (or higher) on deployments
+    where per-task fixed cost is the measured bottleneck (many tiny
+    executors; scalar stages without a heavy sibling stage to overlap)."""
+    import os
+
+    tpc = int(os.environ.get("SPARK_GRAFT_CHEAP_TASKS_PER_CORE", "0"))
+    if tpc <= 0:
+        return spread
     sc = spread.sparkSession.sparkContext
-    return spread.coalesce(max(1, sc.defaultParallelism))
+    return spread.coalesce(max(1, sc.defaultParallelism * tpc))
 
 
 def _make_raster_fused_batches(weights_path: str | None = None):

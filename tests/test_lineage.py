@@ -197,6 +197,43 @@ def test_crash_between_docs_and_done_appends_healed(spark, tmp_path):
     assert done.select("url").distinct().count() == 40
 
 
+def test_docstore_seam_injectable_and_ordered(spark, tmp_path):
+    """Storage seam (VERDICT r3 item 5): run_extract goes through the
+    DocStore interface only, and in commit order — docs first (the
+    commit point), then done-set, then quarantine/lineage. An Iceberg
+    implementation slots in by subclassing; this spy store proves the
+    calls and their order without any parquet-dir knowledge leaking."""
+    from findtextcenternet_spark.lineage import ParquetDirStore
+
+    calls = []
+
+    class SpyStore(ParquetDirStore):
+        def append_docs(self, df):
+            calls.append("docs")
+            super().append_docs(df)
+
+        def append_done(self, urls):
+            calls.append("done")
+            super().append_done(urls)
+
+        def append_lineage(self, df):
+            calls.append("lineage")
+            super().append_lineage(df)
+
+    out_dir = str(tmp_path / "seam")
+    pages = pages_from_pandas(spark, generate_pages(12))
+    store = SpyStore(spark, out_dir)
+    r = run_extract(pages, out_dir, run_id="s1", num_partitions=4,
+                    store=store)
+    assert r["n_docs"] == 12
+    assert calls == ["docs", "done", "lineage"]
+    # resume through the same seam finds everything settled
+    calls.clear()
+    r2 = run_extract(pages, out_dir, run_id="s2", num_partitions=4,
+                     store=SpyStore(spark, out_dir))
+    assert r2["n_docs"] == 0
+
+
 def test_run_extract_never_rereads_docs_dir(spark, tmp_path, monkeypatch):
     """VERDICT r3 item 5: the done-set/quarantine/lineage of a run derive
     from the pinned in-memory frame, never a re-list + re-read of the

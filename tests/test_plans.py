@@ -109,23 +109,32 @@ def test_pipeline_shuffle_budget_and_pruning(spark):
     assert sphys.count("Exchange hashpartitioning(url") <= 5
 
 
-def test_cheap_legs_coalesced_raster_not(spark):
+def test_cheap_leg_parallelism_knob(spark, monkeypatch):
     """Per-leg parallelism (VERDICT r3 weak item): the scalar HTML/PDF
-    legs run at 1 task/core via a NARROW coalesce above the shared spread
-    exchange — fewer, larger tasks for microsecond pages — while the
-    raster leg keeps the full 4-tasks-per-core spread. The coalesce must
-    not introduce a new exchange."""
+    legs can run at N tasks/core via a NARROW coalesce above the shared
+    spread exchange (no new shuffle) — OFF by default (measured: the
+    union overlaps cheap tasks with the raster stage, and fine grain
+    smooths host-steal; see _coalesce_cheap_legs docstring) — while the
+    raster leg always keeps the full 4-tasks-per-core spread."""
     from findtextcenternet_spark.corpus import generate_pages
     from findtextcenternet_spark.pipeline import (
         extract_documents,
         pages_from_pandas,
     )
     pages = pages_from_pandas(spark, generate_pages(32))
+    cores = spark.sparkContext.defaultParallelism
+
+    # default: no coalesce anywhere
     phys = (extract_documents(pages)._jdf.queryExecution()
             .executedPlan().toString())
-    cores = spark.sparkContext.defaultParallelism
-    # exactly two coalesces (html + pdf legs), each to 1 task/core,
-    # each directly above a url-hash exchange — no extra shuffle
+    assert "Coalesce" not in phys
+    assert phys.count("Exchange hashpartitioning(url") <= 3
+
+    # knob on: exactly two coalesces (html + pdf legs), each to 1
+    # task/core, each directly above a url-hash exchange — no new shuffle
+    monkeypatch.setenv("SPARK_GRAFT_CHEAP_TASKS_PER_CORE", "1")
+    phys = (extract_documents(pages)._jdf.queryExecution()
+            .executedPlan().toString())
     assert phys.count(f"Coalesce {cores}") == 2, phys
     assert phys.count("Exchange hashpartitioning(url") <= 3
     lines = phys.splitlines()
