@@ -651,25 +651,127 @@ def spread_pages(pages: DataFrame, num_partitions: int | None = None,
     return pages.repartition(num_partitions, F.col("url"))
 
 
+def _make_unified_batches(weights_path: str | None = None):
+    """Factory: the single kind-dispatching extraction kernel — the
+    distributed form of ``golden.extract_page_golden``'s dispatch. Within
+    each Arrow batch, rows split by magic bytes: the HTML subset runs the
+    batch-vectorized ``extract_main_text_series`` (with the same
+    whole-batch-then-per-row poison fallback as the dedicated leg), PDF
+    and raster subsets run their per-page kernels. One kernel, one
+    Python worker chain, byte-identical output to the three-leg union."""
+    def _unified(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.model_registry import get_detector_model
+
+        get_detector_model(weights_path)  # per-worker singleton
+        yield from _unified_impl(it, weights_path)
+    return _unified
+
+
+def _ruby_variants(text):
+    if text is None:
+        return None, None
+    from .functions.ruby import decode_ruby
+
+    return decode_ruby(text, "aozora"), decode_ruby(text, "noruby")
+
+
+def _unified_impl(it: Iterator[pd.DataFrame], weights_path: str | None
+                  ) -> Iterator[pd.DataFrame]:
+    from .golden import extract_raster_page
+    from .operators.pdf import extract_pdf_text
+
+    doc_cols = [f.name for f in DOC_SCHEMA.fields]
+    empty = {"spans": [], "lines": [], "blocks": []}
+    for pdf in it:
+        recs: list[dict | None] = [None] * len(pdf)
+        html_idx: list[int] = []
+        for i, (url, blob) in enumerate(zip(pdf["url"], pdf["html"])):
+            b = bytes(blob)
+            if b.startswith(RASTER_MARKER):
+                try:
+                    rec = extract_raster_page(b, weights_path)
+                    recs[i] = {"url": url, "text": rec["text"],
+                               "aozora": rec["aozora"],
+                               "noruby": rec["noruby"],
+                               "spans": rec["spans"], "lines": rec["lines"],
+                               "blocks": rec["blocks"], "path": "raster",
+                               "error": None}
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    recs[i] = {"url": url, "text": None, "aozora": None,
+                               "noruby": None, "spans": None, "lines": None,
+                               "blocks": None, "path": "raster",
+                               "error": f"{type(e).__name__}: {e}"[:500]}
+            elif b.startswith(b"%PDF-"):
+                try:
+                    text = extract_pdf_text(b)
+                    az, nr = _ruby_variants(text)
+                    recs[i] = {"url": url, "text": text, "aozora": az,
+                               "noruby": nr, **empty, "path": "pdf",
+                               "error": None}
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    recs[i] = {"url": url, "text": None, "aozora": None,
+                               "noruby": None, **empty, "path": "pdf",
+                               "error": f"{type(e).__name__}: {e}"[:500]}
+            else:
+                html_idx.append(i)
+        if html_idx:
+            sub = pdf["html"].iloc[html_idx]
+            try:  # whole-batch vectorized kernel; per-row poison fallback
+                texts = extract_main_text_series(sub).tolist()
+                errs: list[str | None] = [None] * len(texts)
+            except Exception:  # noqa: BLE001 — isolate the poison row
+                texts, errs = [], []
+                for b in sub:
+                    try:
+                        texts.append(extract_main_text_series(
+                            pd.Series([b])).iloc[0])
+                        errs.append(None)
+                    except Exception as e:  # noqa: BLE001
+                        texts.append(None)
+                        errs.append(f"{type(e).__name__}: {e}"[:500])
+            for i, text, err in zip(html_idx, texts, errs):
+                az, nr = _ruby_variants(text)
+                recs[i] = {"url": pdf["url"].iloc[i], "text": text,
+                           "aozora": az, "noruby": nr, **empty,
+                           "path": "html", "error": err}
+        if recs:
+            yield pd.DataFrame(recs)[doc_cols]
+
+
 def extract_documents(pages: DataFrame,
                       num_partitions: int | None = None,
                       staged: bool = False,
-                      weights_path: str | None = None) -> DataFrame:
-    """Full extraction: all legs, one output table (``error`` column null
-    for clean docs — non-null rows are the in-pass quarantine).
-    ``weights_path`` routes the raster leg through the real-model forward
-    path (operators/models.py); on a cluster ship the file with
-    ``spark-submit --files`` and pass ``SparkFiles.get(...)`` here."""
+                      weights_path: str | None = None,
+                      split_legs: bool = False) -> DataFrame:
+    """Full extraction, one output table (``error`` column null for clean
+    docs — non-null rows are the in-pass quarantine). ``weights_path``
+    routes the raster path through the real-model forward
+    (operators/models.py); on a cluster ship the file with
+    ``spark-submit --files`` and pass ``SparkFiles.get(...)`` here.
+
+    Default plan: ONE scan → one url-hash spread → ONE kind-dispatching
+    mapInPandas. The previous three-leg union is kept behind
+    ``split_legs=True`` (and is implied by ``staged=True``) — measured
+    against it: Catalyst pushes each leg's kind filter BELOW its
+    repartition, so the union actually executes THREE source scans and
+    three disjoint exchanges (verified via stage shuffle metrics) — at
+    corpus scale that is three full passes over the object store where
+    the unified kernel does one, and on a mixed corpus the union pays
+    three Python-worker pipelines and seven stages for the unified
+    plan's two."""
     spread = spread_pages(pages, num_partitions)
-    # scalar legs run at 1 task/core over the SAME spread exchange
-    # (narrow coalesce — no second shuffle); raster keeps 4 tasks/core
-    cheap = (_coalesce_cheap_legs(spread)
-             if num_partitions is None or num_partitions > 0 else spread)
-    return (extract_html_path(cheap)
-            .unionByName(extract_pdf_path(cheap))
-            .unionByName(extract_raster_path(spread, num_partitions,
-                                             staged=staged,
-                                             weights_path=weights_path)))
+    if staged or split_legs:
+        # scalar legs optionally run at N tasks/core over the spread
+        # (narrow coalesce — no second shuffle); raster keeps 4/core
+        cheap = (_coalesce_cheap_legs(spread)
+                 if num_partitions is None or num_partitions > 0 else spread)
+        return (extract_html_path(cheap)
+                .unionByName(extract_pdf_path(cheap))
+                .unionByName(extract_raster_path(spread, num_partitions,
+                                                 staged=staged,
+                                                 weights_path=weights_path)))
+    return (spread.select("url", "html")
+            .mapInPandas(_make_unified_batches(weights_path), DOC_SCHEMA))
 
 
 def extract_documents_robust(pages: DataFrame,

@@ -45,18 +45,20 @@ def test_partitioning_invariance(spark, corpus):
     )
 
 
-def test_fused_matches_staged(spark, corpus):
-    """The zero-shuffle fused raster leg and the two-exchange staged leg
-    must produce byte-identical documents (same per-page kernels)."""
+def test_unified_matches_legs_matches_staged(spark, corpus):
+    """All three plan shapes — the default one-kernel unified path, the
+    three-leg union, and the staged two-exchange raster variant — must
+    produce byte-identical documents (same per-page kernels)."""
     pages = pages_from_pandas(spark, corpus).repartition(4, "url")
-    fused = (extract_documents(pages, staged=False).toPandas()
-             .sort_values("url").reset_index(drop=True))
+    cols = ["url", "text", "aozora", "noruby", "path"]
+    unified = (extract_documents(pages).toPandas()
+               .sort_values("url").reset_index(drop=True))
+    legs = (extract_documents(pages, split_legs=True).toPandas()
+            .sort_values("url").reset_index(drop=True))
     staged = (extract_documents(pages, staged=True).toPandas()
               .sort_values("url").reset_index(drop=True))
-    pd.testing.assert_frame_equal(
-        fused[["url", "text", "aozora", "noruby", "path"]],
-        staged[["url", "text", "aozora", "noruby", "path"]],
-    )
+    pd.testing.assert_frame_equal(unified[cols], legs[cols])
+    pd.testing.assert_frame_equal(unified[cols], staged[cols])
 
 
 def test_blank_layout_reaches_output_on_both_legs(spark, corpus):

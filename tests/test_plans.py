@@ -84,12 +84,14 @@ def test_q1_partial_agg_and_codegen(spark, reg):
 
 
 def test_pipeline_shuffle_budget_and_pruning(spark):
-    """The extraction DAG budgets exactly ONE logical shuffle: the input
-    spread (one canonical exchange per leg, deduped by AQE's stage cache
-    at runtime) — the fused raster leg adds no exchange. Column pruning
-    pushes through the repartition so only (url, html) are shuffled,
-    never the full 5-column pages row. The staged raster variant adds
-    exactly its 2 grouped-stage repartitions."""
+    """The default extraction DAG is ONE scan → ONE url-hash exchange →
+    ONE kind-dispatching mapInPandas — no union, no per-leg re-scans.
+    Column pruning pushes through the repartition so only (url, html)
+    are shuffled, never the full 5-column pages row. The split-legs
+    union stays ≤3 exchanges (Catalyst pushes each leg's kind filter
+    below its repartition, so they are three DISJOINT shuffles); the
+    staged raster variant adds exactly its 2 grouped-stage
+    repartitions."""
     from findtextcenternet_spark.corpus import generate_pages
     from findtextcenternet_spark.pipeline import (
         extract_documents,
@@ -98,12 +100,15 @@ def test_pipeline_shuffle_budget_and_pruning(spark):
     pages = pages_from_pandas(spark, generate_pages(32))
     df = extract_documents(pages)
     phys = df._jdf.queryExecution().executedPlan().toString()
-    # one spread per leg (html/pdf/raster — identical canonical exchanges)
-    assert phys.count("Exchange hashpartitioning(url") <= 3
+    assert phys.count("Exchange hashpartitioning(url") == 1, phys
+    assert phys.count("Union") == 0
     for line in phys.splitlines():
         if "LocalTableScan" in line:
             assert "warc_ts" not in line and "lang" not in line, (
                 "input spread shuffles unpruned pages rows")
+    legs = extract_documents(pages, split_legs=True)
+    lphys = legs._jdf.queryExecution().executedPlan().toString()
+    assert lphys.count("Exchange hashpartitioning(url") <= 3
     staged = extract_documents(pages, staged=True)
     sphys = staged._jdf.queryExecution().executedPlan().toString()
     assert sphys.count("Exchange hashpartitioning(url") <= 5
@@ -124,8 +129,8 @@ def test_cheap_leg_parallelism_knob(spark, monkeypatch):
     pages = pages_from_pandas(spark, generate_pages(32))
     cores = spark.sparkContext.defaultParallelism
 
-    # default: no coalesce anywhere
-    phys = (extract_documents(pages)._jdf.queryExecution()
+    # default: no coalesce anywhere (split-legs union)
+    phys = (extract_documents(pages, split_legs=True)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Coalesce" not in phys
     assert phys.count("Exchange hashpartitioning(url") <= 3
@@ -133,7 +138,7 @@ def test_cheap_leg_parallelism_knob(spark, monkeypatch):
     # knob on: exactly two coalesces (html + pdf legs), each to 1
     # task/core, each directly above a url-hash exchange — no new shuffle
     monkeypatch.setenv("SPARK_GRAFT_CHEAP_TASKS_PER_CORE", "1")
-    phys = (extract_documents(pages)._jdf.queryExecution()
+    phys = (extract_documents(pages, split_legs=True)._jdf.queryExecution()
             .executedPlan().toString())
     assert phys.count(f"Coalesce {cores}") == 2, phys
     assert phys.count("Exchange hashpartitioning(url") <= 3
