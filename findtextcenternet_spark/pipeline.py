@@ -1,22 +1,28 @@
 """End-to-end Spark extraction pipeline (SURVEY.md §3.1 lifecycle).
 
-    pages ──┬─ html path:   pandas_udf extract_html              (narrow)
-            ├─ pdf path:    pandas_udf extract_pdf               (narrow)
-            └─ raster path: mapInPandas(detect→group→decode→asm) (narrow)
-            → unionByName → extracted docs
+Default plan (round 4):
 
-Shuffle budget: ONE shuffle total — the input spread (``spread_pages``,
-hash on url, shared by all three legs via exchange/stage reuse). Every
-extraction stage is page-local, so the raster chain fuses into a single
-narrow mapInPandas (zero exchanges); ``extract_raster_path(staged=True)``
-keeps the two-exchange detect/group/decode/assemble split for
-heterogeneous clusters (GPU detect executors) — see its docstring for the
-measured scaling rationale. Skew: urls are unique, so hashing on the full url is the perfect
-case of salted domain repartition (tests/test_skew.py). Poison pills are
-handled IN-PASS: every extraction kernel catches per-page failures and
-emits an ``error`` row (null for clean docs) — no separate validation
-probe, nothing parsed twice, and one malformed page out of 10^12 costs
-one quarantine row, never a task.
+    pages ── spread(url) ── ONE kind-dispatching mapInPandas ── docs
+             (1 scan, 1 shuffle, 2 stages)
+
+The kernel splits each Arrow batch by magic bytes and runs the HTML
+subset batch-vectorized, the PDF and raster subsets per-page — the
+distributed form of ``golden.extract_page_golden``. Why not a three-leg
+union sharing one spread: Catalyst pushes each leg's kind filter BELOW
+its repartition, so the union actually executes three source scans and
+three disjoint exchanges (verified via stage shuffle metrics) — three
+passes over the object store at corpus scale, seven stages, three Python
+worker pipelines. The union remains behind ``split_legs=True``;
+``staged=True`` keeps the separate legs plus the two-exchange
+detect/group/decode/assemble raster split for heterogeneous clusters
+(GPU detect executors) — see ``extract_raster_path``'s docstring.
+
+Skew: urls are unique, so hashing on the full url is the perfect case of
+salted domain repartition (tests/test_skew.py). Poison pills are handled
+IN-PASS: every extraction kernel catches per-page failures and emits an
+``error`` row (null for clean docs) — no separate validation probe,
+nothing parsed twice, and one malformed page out of 10^12 costs one
+quarantine row, never a task.
 """
 
 from __future__ import annotations
