@@ -11,14 +11,24 @@ The reference's resumability is byte-range resume in its shard downloader
   processes only the remainder — resume cost is O(done-set strings), not
   a scan over everything ever written.
 
-Crash-window healing (the "never duplicates" contract): the docs append
+Crash-window healing (the "never re-extracts" contract): the docs append
 and the done-set append are two writes; only the docs append is the
 commit point. On every resume the done-set is RECONCILED against the set
 of committed docs run_ids (a partition listing, not a data scan): any
-run_id present in docs but missing from ``_done_urls`` — a crash between
-the two appends, or a docs dir written before the side table existed —
-has its urls backfilled from that run's pruned partition. A healed
-resume therefore never re-extracts, and duplicates cannot accumulate.
+run committed to docs whose done append is not known COMPLETE — a crash
+between or DURING the two appends, or a docs dir written before the side
+table existed — has its urls backfilled from that run's pruned partition.
+Completeness is a per-run ``done marker`` written only AFTER the done
+append commits (``DocStore.mark_done``): a partially-visible done append
+(multi-file job crashed mid-commit) has no marker, so its run is
+backfilled in full rather than trusted on sight (ADVICE r4 — trusting
+the mere presence of a run_id in the done DATA would skip the backfill
+and re-extract that run's missing urls into duplicate doc rows). The
+backfill may duplicate (url, run_id) rows inside ``_done_urls`` itself;
+that is harmless — the resume anti-join is set-semantics — and doc rows,
+the table that matters, are never duplicated. On Iceberg
+``append_docs``+``append_done`` are one atomic commit and the marker
+degenerates to snapshot membership.
 
 Storage seam: all physical I/O goes through :class:`DocStore`.
 :class:`ParquetDirStore` is the sandbox implementation (parquet
@@ -103,6 +113,19 @@ class DocStore:
         """urls: (url, run_id) frame, appended bucket-clustered."""
         raise NotImplementedError
 
+    def mark_done(self, run_ids: list[str]) -> None:
+        """Record that the done append for these runs COMMITTED in full —
+        called only after ``append_done`` returns. On Iceberg this is a
+        no-op (append_docs+append_done are one atomic commit)."""
+        raise NotImplementedError
+
+    def done_run_ids(self) -> set[str]:
+        """run_ids whose done append is known complete (see mark_done).
+        A run_id merely present in the done DATA is not enough: a
+        multi-file append observed mid-crash can be partial, and trusting
+        it would skip the healing backfill (ADVICE r4)."""
+        raise NotImplementedError
+
     def append_quarantine(self, df: DataFrame) -> None:
         raise NotImplementedError
 
@@ -171,6 +194,22 @@ class ParquetDirStore(DocStore):
         (urls.repartition(DONE_BUCKETS, "url")
          .write.mode("append").parquet(self.done_dir))
 
+    def mark_done(self, run_ids: list[str]) -> None:
+        # leading underscore: Spark's parquet reader treats the marker
+        # as a hidden/metadata file and never tries to parse it
+        os.makedirs(self.done_dir, exist_ok=True)
+        for rid in run_ids:
+            with open(os.path.join(self.done_dir, f"_run_{rid}.done"),
+                      "w"):
+                pass
+
+    def done_run_ids(self) -> set[str]:
+        if not os.path.isdir(self.done_dir):
+            return set()
+        return {e[len("_run_"):-len(".done")]
+                for e in os.listdir(self.done_dir)
+                if e.startswith("_run_") and e.endswith(".done")}
+
     def append_quarantine(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.quarantine_dir)
 
@@ -199,8 +238,11 @@ def _settled_urls(store: DocStore, heal: bool) -> DataFrame | None:
         return None
 
     done = store.read_done().select("url", "run_id") if done_any else None
-    done_ids = (set() if done is None else
-                {r[0] for r in done.select("run_id").distinct().collect()})
+    # trust only runs whose done append is KNOWN complete (marker written
+    # after the append commits) — a run_id visible in the done data could
+    # be a partially-committed append, and skipping its backfill would
+    # re-extract the missing urls into duplicate doc rows (ADVICE r4)
+    done_ids = store.done_run_ids() if done_any else set()
 
     missing = store.committed_run_ids() - done_ids
     backfills = [store.read_run_urls(rid).withColumn("run_id", F.lit(rid))
@@ -216,9 +258,14 @@ def _settled_urls(store: DocStore, heal: bool) -> DataFrame | None:
     for b in backfills[1:]:
         missing_urls = missing_urls.unionByName(b)
     if heal:
-        # distinct() so a legacy url later re-extracted into a healed run
-        # (possible only across a pre-healing crash) lands once
+        # distinct() collapses exact (url, run_id) duplicate rows within
+        # this backfill; a url re-extracted under TWO run_ids still lands
+        # twice — tolerated, the resume anti-join is set-semantics
         store.append_done(missing_urls.distinct())
+        healed_ids = sorted(missing)
+        if store.has_legacy_flat_docs() and LEGACY_RUN_ID not in done_ids:
+            healed_ids.append(LEGACY_RUN_ID)
+        store.mark_done(healed_ids)
         healed = store.read_done().select("url")
         return healed
     union = missing_urls.select("url")
@@ -277,6 +324,7 @@ def run_extract(pages: DataFrame, out_dir: str,
         # column, instead of the url column of everything ever written
         store.append_done(out.select("url")
                           .withColumn("run_id", F.lit(run_id)))
+        store.mark_done([run_id])  # done append committed in full
 
         quarantine = out.filter(F.col("error").isNotNull())
         n_quarantined = quarantine.count()

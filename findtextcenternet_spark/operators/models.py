@@ -97,7 +97,7 @@ class NumpyDetector:
         x = x * 2.0 - 1.0  # reference input scaling (detector.py:218)
         x = x.reshape(b, HM, SCALE, HM, SCALE, 3).mean(axis=(2, 4))
         h = np.maximum(x @ self.w1.T + self.b1, 0.0)
-        return h @ self.w2.T + self.b2  # (B, 192, 192, 110)
+        return h @ self.w2.T + self.b2  # (B, HM, HM, N_MAPS + FEATURE_DIM)
 
     def forward_tiles(self, tiles: np.ndarray
                       ) -> tuple[np.ndarray, np.ndarray]:

@@ -142,16 +142,44 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return img if top_down else img[::-1].copy()
 
 
+def _pnm_header(blob: bytes) -> tuple[int, int, int, int]:
+    """Parse width/height/maxval after the P5/P6 magic, skipping
+    whitespace runs and '#' comments BETWEEN tokens only, then consume
+    exactly ONE whitespace byte after maxval (netpbm spec): a naive
+    whitespace split would eat leading payload bytes that happen to be
+    0x09/0x0A/0x0D/0x20 (ADVICE r4). Returns (w, h, maxval, payload_off).
+    """
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(blob):
+            c = blob[pos:pos + 1]
+            if c == b"#":  # comment runs to end of line
+                nl = blob.find(b"\n", pos)
+                pos = len(blob) if nl < 0 else nl + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(blob) and blob[pos:pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("bad PNM header")
+        vals.append(int(blob[start:pos]))
+    if pos >= len(blob) or not blob[pos:pos + 1].isspace():
+        raise ValueError("bad PNM header: no separator after maxval")
+    return vals[0], vals[1], vals[2], pos + 1
+
+
 def decode_pnm(blob: bytes) -> np.ndarray:
     """Baseline binary PGM (P5) / PPM (P6) decode."""
-    parts = blob.split(maxsplit=4)
-    if parts[0] not in (b"P5", b"P6"):
+    if blob[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PNM")
-    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    w, h, maxval, off = _pnm_header(blob)
     if maxval > 255:
         raise NotImplementedError("baseline PNM decoder: 8-bit only")
-    ch = 3 if parts[0] == b"P6" else 1
-    data = parts[4][:w * h * ch] if len(parts) > 4 else b""
+    ch = 3 if blob[:2] == b"P6" else 1
+    data = blob[off:off + w * h * ch]
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch)
 
 

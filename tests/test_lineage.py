@@ -283,3 +283,45 @@ def test_binary_junk_html_extracts_empty_not_fatal(spark, tmp_path):
     r = run_extract(pages, out_dir, run_id="j1", num_partitions=4)
     assert r["n_docs"] == 11
     assert r["n_quarantined"] == 0
+
+
+def test_partial_done_append_not_trusted_without_marker(spark, tmp_path):
+    """ADVICE r4: append_done is a multi-file job commit — a crash can
+    leave a run's done rows PARTIALLY visible. A run_id seen in the done
+    data must not be trusted on sight: only the per-run marker (written
+    after the append commits) counts, else the missing urls would be
+    re-extracted into duplicate doc rows."""
+    import os
+
+    from findtextcenternet_spark.lineage import ParquetDirStore
+
+    out_dir = str(tmp_path / "partialdone")
+    pages = pages_from_pandas(spark, generate_pages(40))
+    run_extract(pages.limit(20), out_dir, run_id="a", num_partitions=4)
+
+    # simulate run "b": docs committed, done append only PARTIALLY
+    # visible (5 of its 10 urls), crash before the marker
+    store = ParquetDirStore(spark, out_dir)
+    b_pages = (pages_from_pandas(spark, generate_pages(30))
+               .join(store.read_done().select("url"), "url", "left_anti"))
+    from findtextcenternet_spark.pipeline import extract_documents
+    b_out = (extract_documents(b_pages, num_partitions=4)
+             .withColumn("part_id", F.spark_partition_id())
+             .withColumn("run_id", F.lit("b"))
+             .localCheckpoint(eager=True))
+    store.append_docs(b_out)
+    store.append_done(b_out.select("url").limit(5)
+                      .withColumn("run_id", F.lit("b")))
+    # NO store.mark_done(["b"]) — the crash window under test
+
+    # resume over the full 40: run "b" must be healed in FULL from its
+    # docs partition; only the 10 genuinely-new pages are extracted
+    r = run_extract(pages, out_dir, run_id="c", num_partitions=4)
+    assert r["n_docs"] == 10
+    docs = spark.read.parquet(out_dir + "/docs")
+    assert docs.count() == 40
+    assert docs.select("url").distinct().count() == 40  # no duplicates
+    # and the healing marked "b" complete: next resume is a clean no-op
+    assert "b" in store.done_run_ids()
+    r2 = run_extract(pages, out_dir, run_id="d", num_partitions=4)
+    assert r2["n_docs"] == 0

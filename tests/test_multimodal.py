@@ -191,3 +191,28 @@ def test_real_png_through_spark_feature_extract(spark):
     want = hist.astype(np.float32)
     want /= np.linalg.norm(want)
     assert np.allclose(feat, want, atol=1e-6)
+
+
+def test_pnm_header_whitespace_payload_and_comments():
+    """ADVICE r4: a naive whitespace split would eat payload bytes that
+    happen to be whitespace values (0x09/0x0A/0x0D/0x20) and choke on
+    '#' header comments; the tokenizer must consume exactly one
+    whitespace byte after maxval."""
+    import numpy as np
+
+    from findtextcenternet_spark.operators.multimodal import (
+        decode_image_bytes,
+        decode_pnm,
+    )
+
+    payload = bytes([0x20, 0x0A, 0x09, 0x0D, 0x00, 0xFF])
+    blob = b"P5\n# a comment\n3 2\n# another\n255\n" + payload
+    img = decode_pnm(blob)
+    assert img.shape == (2, 3, 1)
+    assert img.reshape(-1).tolist() == [32, 10, 9, 13, 0, 255]
+    assert (decode_image_bytes(blob) == img).all()
+    # PPM variant: space (not newline) after maxval, payload starts 0x0A
+    p6 = b"P6 2 1 255 " + bytes([0x0A, 1, 2, 3, 4, 5])
+    img6 = decode_pnm(p6)
+    assert img6.shape == (1, 2, 3)
+    assert img6.reshape(-1).tolist() == [10, 1, 2, 3, 4, 5]

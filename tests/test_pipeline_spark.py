@@ -115,3 +115,34 @@ def test_raster_records_nonempty(spark, corpus):
         # block texts joined reproduce the flat text ('\n\n' between blocks)
         joined = "\n\n".join(b["text"].rstrip("\n") for b in r.blocks)
         assert joined == r.text
+
+
+def test_null_html_quarantined_identically_in_both_plans(spark):
+    """ADVICE r4 (medium): a null html cell must become ONE quarantine
+    row — not a task crash (unified kernel did bytes(None)) and not a
+    silently vanished url (the legs' magic-byte filters drop null rows).
+    Both plans emit the byte-identical row."""
+    from findtextcenternet_spark.pipeline import NULL_PAGE_ERROR
+
+    good = generate_pages(10)
+    nulls = pd.DataFrame([
+        {"url": "https://null.example.org/missing-body",
+         "warc_ts": good["warc_ts"].iloc[0],
+         "html": None, "text": "", "lang": "en"},
+    ])
+    pages = pages_from_pandas(spark, pd.concat([good, nulls],
+                                               ignore_index=True))
+    outs = []
+    for kw in ({}, {"split_legs": True}):
+        out = (extract_documents(pages, num_partitions=4, **kw)
+               .toPandas().sort_values("url").reset_index(drop=True))
+        assert len(out) == 11  # the null url settles, never vanishes
+        row = out[out["url"] == "https://null.example.org/missing-body"]
+        assert len(row) == 1
+        assert row["error"].iloc[0] == NULL_PAGE_ERROR
+        assert row["path"].iloc[0] == "html"
+        assert row["text"].iloc[0] is None
+        outs.append(out)
+    for col in ("url", "text", "path", "error"):
+        assert outs[0][col].fillna("§").tolist() == \
+            outs[1][col].fillna("§").tolist(), col
