@@ -83,9 +83,12 @@ def _extract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
          "warc_ts": good["warc_ts"].iloc[0],
          "html": RASTER_MARKER + b'{"page_w": 768, "glyphs": [{',
          "text": "", "lang": "raster:xx"},
-        {"url": "https://bad.example.org/compressed-pdf",
+        {"url": "https://bad.example.org/corrupt-flate-pdf",
          "warc_ts": good["warc_ts"].iloc[0],
-         "html": b"%PDF-1.4\n1 0 obj << /Filter /FlateDecode >>\n"
+         # truly malformed: the FlateDecode stream carries garbage
+         # deflate bytes (compression itself is SUPPORTED since r5)
+         "html": b"%PDF-1.4\n1 0 obj\n"
+         b"<< /Length 4 /Filter /FlateDecode >>\n"
          b"stream\nxxxx\nendstream\n",
          "text": "", "lang": "en"},
     ])

