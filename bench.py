@@ -121,12 +121,34 @@ def main() -> int:
         "speedup_vs_single_node": round(n_docs / extract_sec / golden_dps, 2),
     }
     # latest two-parallelism scaling measurement, if one has been recorded
-    # (scripts/scaling_bench.py; see BENCH.md for the protocol)
+    # (scripts/scaling_bench.py; see BENCH.md for the protocol).
+    # COMPACTED to the decision numbers only: the r4 driver tail-window
+    # truncated the full record mid-JSON ("parsed": null) — raw per-rep
+    # arrays/controls stay in .bench_cache/scaling.json and BENCH.md.
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".bench_cache", "scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            rec["scaling"] = json.load(f)
+            full = json.load(f)
+        compact = {}
+        for tag in ("headline", "raster", "mixed"):
+            leg = full.get(tag)
+            if not isinstance(leg, dict):
+                continue
+            compact[tag] = {
+                "cores": f"{leg['n_cores']}->{leg['n4_cores']}",
+                "eff": leg["scaling_efficiency"],
+                "eff_best": leg.get("eff_best"),
+                "dps_n": leg["docs_per_sec_n"],
+                "dps_4n": leg["docs_per_sec_4n"],
+                "parity": leg.get("parity_identical"),
+            }
+        ctrl = full.get("control")
+        if isinstance(ctrl, dict):
+            compact["control_eff"] = {
+                tag: c.get("efficiency") for tag, c in ctrl.items()
+                if isinstance(c, dict)}
+        rec["scaling"] = compact
     print(json.dumps(rec))
     spark.stop()
     return 0
