@@ -200,10 +200,13 @@ def decode_image_bytes(blob: bytes) -> np.ndarray:
         return decode_bmp(blob)
     if blob[:2] in (b"P5", b"P6"):
         return decode_pnm(blob)
+    if blob[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(blob)
     raise NotImplementedError(
         "no codec for this format: baseline decoders cover PNG (8-bit, "
-        "non-interlaced), BMP (BI_RGB) and binary PNM; install PIL for "
-        "JPEG/WEBP/TIFF")
+        "non-interlaced), BMP (BI_RGB), binary PNM and baseline-sequential "
+        "JPEG; install PIL for progressive JPEG/WEBP/TIFF")
 
 
 def _decode(blob: bytes) -> tuple[int, int, int, int, np.ndarray]:

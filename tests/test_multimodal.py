@@ -66,7 +66,8 @@ def test_sample_frames_fanout(media_df):
 
 def test_unknown_format_raises_not_implemented(spark):
     df = spark.createDataFrame(
-        pd.DataFrame({"media_id": [0], "blob": [b"\xff\xd8\xff\xe0 jpeg"]}),
+        pd.DataFrame({"media_id": [0],
+                      "blob": [b"RIFF\x00\x00\x00\x00WEBPVP8 "]}),
         "media_id long, blob binary")
     with pytest.raises(Exception) as ei:
         mm.with_media_meta(df).collect()
@@ -191,6 +192,290 @@ def test_real_png_through_spark_feature_extract(spark):
     want = hist.astype(np.float32)
     want /= np.linalg.norm(want)
     assert np.allclose(feat, want, atol=1e-6)
+
+
+# ------------------------------------------------------------ baseline JPEG
+
+def _jpeg_category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG byte stuffing (0xFF -> 0xFF 0x00)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int):
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def pad(self):
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
+        while self.n:
+            self.write(1, 1)
+
+
+def _encode_jpeg(img: np.ndarray, subsampling=(1, 1), qy: int = 4,
+                 qc: int = 8, restart: int = 0):
+    """Independent spec-following baseline JPEG writer (ITU-T T.81).
+
+    Grayscale (h,w) or RGB (h,w,3); ``subsampling`` is the luma (H,V)
+    factor pair (chroma is always (1,1)), flat quant tables ``qy``/``qc``.
+    All Huffman symbols get canonical 9-bit codes — valid per C.2 and
+    trivially independent of the decoder's table walk. Returns
+    (jpeg_bytes, reference_reconstruction): the reconstruction applies
+    the encoder's own dequantize + IDCT + upsample + color transform, so
+    the decoder must match it within IDCT rounding (+-1), not merely
+    "look similar"."""
+    import struct
+
+    from findtextcenternet_spark.operators.jpeg import _DCT_T, ZIGZAG
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    hs, vs = (1, 1) if gray else subsampling
+    mw, mh = 8 * hs, 8 * vs
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    padded = np.pad(img.astype(np.float64),
+                    [(0, ph - h), (0, pw - w)] + ([] if gray else [(0, 0)]),
+                    mode="edge")
+
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": padded}]
+    else:
+        r, g, b = padded[..., 0], padded[..., 1], padded[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        # chroma box-downsample by the luma sampling factors
+        def down(p):
+            return p.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+        comps = [
+            {"id": 1, "h": hs, "v": vs, "tq": 0, "plane": y},
+            {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": down(cb)},
+            {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": down(cr)},
+        ]
+    qtab = {0: np.full(64, qy, dtype=np.int32),
+            1: np.full(64, qc, dtype=np.int32)}
+
+    # forward DCT + quantize per 8x8 block, recording zigzag coefficients
+    # in MCU interleave order; build the reference reconstruction planes
+    recon_planes = {}
+    for c in comps:
+        p = c["plane"]
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0)
+        coef = np.einsum("ki,nmij,jl->nmkl", _DCT_T, blocks, _DCT_T.T)
+        q = qtab[c["tq"]].reshape(8, 8)
+        zzq = np.round(coef / q).astype(np.int32)
+        c["quant"] = zzq                      # (bh, bw, 8, 8) raster order
+        rec = np.einsum("ik,nmkl,lj->nmij", _DCT_T.T,
+                        (zzq * q).astype(np.float64), _DCT_T) + 128.0
+        recon_planes[c["id"]] = (rec.transpose(0, 2, 1, 3)
+                                 .reshape(p.shape[0], p.shape[1]))
+
+    if gray:
+        recon = np.clip(np.round(recon_planes[1][:h, :w]),
+                        0, 255).astype(np.uint8)
+    else:
+        def up(p):
+            return np.repeat(np.repeat(p, vs, axis=0), hs, axis=1)
+        yp = recon_planes[1][:h, :w]
+        cbp = up(recon_planes[2])[:h, :w] - 128.0
+        crp = up(recon_planes[3])[:h, :w] - 128.0
+        recon = np.clip(np.round(np.stack([
+            yp + 1.402 * crp,
+            yp - 0.344136 * cbp - 0.714136 * crp,
+            yp + 1.772 * cbp,
+        ], axis=-1)), 0, 255).astype(np.uint8)
+
+    # entropy symbol streams per MCU (DC predictors reset each restart
+    # interval; restart=0 means one unbroken interval)
+    mcux, mcuy = pw // mw, ph // mh
+    mcu_events = _events_with_restart(comps, mcux, mcuy, ZIGZAG, restart)
+
+    # build canonical 9-bit Huffman tables over the used symbols
+    used = {("dc", 0): set(), ("ac", 0): set(),
+            ("dc", 1): set(), ("ac", 1): set()}
+    for ev in mcu_events:
+        for syms in ev:
+            for cls, tid, sym, _v, _b in syms:
+                used[(cls, tid)].add(sym)
+    tables = {}
+    for key, ss in used.items():
+        if not ss:
+            continue
+        symbols = sorted(ss)
+        counts = [0] * 16
+        counts[8] = len(symbols)            # all codes 9 bits long
+        codes = {s: (9, i) for i, s in enumerate(symbols)}
+        tables[key] = (counts, bytes(symbols), codes)
+
+    # emit segments
+    out = bytearray(b"\xff\xd8")
+    for tq, q in qtab.items():
+        if gray and tq == 1:
+            continue
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(q[z]) for z in range(64))  # flat: order-invariant
+    nc = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for (cls, tid), (counts, symbols, _codes) in sorted(tables.items()):
+        tc = 0 if cls == "dc" else 1
+        payload = bytes([(tc << 4) | tid]) + bytes(counts) + symbols
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([nc])
+    for ci, c in enumerate(comps):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([c["id"], (tid << 4) | tid])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    for mi, ev in enumerate(mcu_events):
+        if restart and mi and mi % restart == 0:
+            bw.pad()
+            out += bw.out
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + ((mi // restart - 1) % 8)])
+        for syms in ev:
+            for cls, tid, sym, v, bits in syms:
+                ln, code = tables[(cls, tid)][2][sym]
+                bw.write(code, ln)
+                if bits:
+                    bw.write(v, bits)
+    bw.pad()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out), recon
+
+
+def _events_with_restart(comps, mcux, mcuy, zz_order, restart):
+    """Symbol streams with DC predictors reset at each restart interval."""
+    events = []
+    preds = {c["id"]: 0 for c in comps}
+    for mi in range(mcux * mcuy):
+        if restart and mi and mi % restart == 0:
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mi, mcux)
+        ev = []
+        for ci, c in enumerate(comps):
+            tid = 0 if ci == 0 else 1
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = c["quant"][my * c["v"] + by,
+                                     mx * c["h"] + bx].reshape(-1)
+                    zz = blk[zz_order]
+                    syms = []
+                    diff = int(zz[0]) - preds[c["id"]]
+                    preds[c["id"]] = int(zz[0])
+                    t = _jpeg_category(diff)
+                    v = diff if diff >= 0 else diff + (1 << t) - 1
+                    syms.append(("dc", tid, t, v, t))
+                    run = 0
+                    last = 63
+                    while last > 0 and zz[last] == 0:
+                        last -= 1
+                    for k in range(1, last + 1):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            syms.append(("ac", tid, 0xF0, 0, 0))
+                            run -= 16
+                        s = _jpeg_category(int(zz[k]))
+                        v = int(zz[k])
+                        v = v if v >= 0 else v + (1 << s) - 1
+                        syms.append(("ac", tid, (run << 4) | s, v, s))
+                        run = 0
+                    if last < 63:
+                        syms.append(("ac", tid, 0x00, 0, 0))
+                    ev.append(syms)
+        events.append(ev)
+    return events
+
+
+def _smooth_test_image(h, w, channels, seed):
+    """Low-frequency image (JPEG-friendly): sums of 2-D cosines."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    out = np.zeros((h, w, channels))
+    for c in range(channels):
+        img = 128.0 + 60 * np.cos(xx / (5 + 3 * c)) * np.cos(yy / (7 + 2 * c))
+        img += rng.normal(0, 2, (h, w))
+        out[..., c] = img
+    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out[..., 0] if channels == 1 else out
+
+
+def test_jpeg_gray_roundtrip():
+    from findtextcenternet_spark.operators.jpeg import decode_jpeg
+    img = _smooth_test_image(48, 64, 1, seed=11)
+    blob, recon = _encode_jpeg(img)
+    got = decode_jpeg(blob)
+    assert got.shape == (48, 64)
+    assert int(np.abs(got.astype(int) - recon.astype(int)).max()) <= 1
+
+
+@pytest.mark.parametrize("subsampling", [(1, 1), (2, 1), (2, 2)])
+def test_jpeg_color_subsampling(subsampling):
+    from findtextcenternet_spark.operators.jpeg import decode_jpeg
+    img = _smooth_test_image(41, 53, 3, seed=23)  # non-multiple-of-MCU dims
+    blob, recon = _encode_jpeg(img, subsampling=subsampling)
+    got = decode_jpeg(blob)
+    assert got.shape == (41, 53, 3)
+    assert int(np.abs(got.astype(int) - recon.astype(int)).max()) <= 1
+    # reconstruction is meaningfully close to the source (sanity that the
+    # whole forward+inverse path is an actual JPEG, not a passthrough)
+    assert float(np.abs(got.astype(int) - img.astype(int)).mean()) < 8.0
+
+
+def test_jpeg_restart_markers():
+    from findtextcenternet_spark.operators.jpeg import decode_jpeg
+    img = _smooth_test_image(32, 80, 3, seed=31)
+    blob, recon = _encode_jpeg(img, subsampling=(2, 2), restart=2)
+    assert b"\xff\xdd" in blob          # DRI present
+    got = decode_jpeg(blob)
+    assert int(np.abs(got.astype(int) - recon.astype(int)).max()) <= 1
+
+
+def test_jpeg_progressive_raises():
+    from findtextcenternet_spark.operators.jpeg import decode_jpeg
+    img = _smooth_test_image(16, 16, 1, seed=5)
+    blob, _ = _encode_jpeg(img)
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(prog)
+
+
+def test_real_jpeg_through_spark_feature_extract(spark):
+    """A real (self-encoded) JPEG goes through the same mapInPandas meta +
+    feature kernels as PNG/MM01 blobs — the codec seam dispatches on the
+    FFD8 magic."""
+    img = _smooth_test_image(24, 40, 3, seed=41)
+    blob, recon = _encode_jpeg(img, subsampling=(2, 2))
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0], "blob": [blob]}),
+        "media_id long, blob binary")
+    meta = mm.with_media_meta(df).toPandas().iloc[0]
+    assert (meta["width"], meta["height"], meta["kind"]) == (40, 24,
+                                                             mm.KIND_IMAGE)
+    feat = np.array(mm.extract_features(df).toPandas()["feature"].iloc[0])
+    assert feat.shape == (mm.FEATURE_DIM,)
+    assert abs(np.linalg.norm(feat) - 1.0) < 1e-5
 
 
 def test_pnm_header_whitespace_payload_and_comments():
