@@ -540,11 +540,12 @@ def _coalesce_cheap_legs(spread: DataFrame) -> DataFrame:
     and fine grain wins best-of at 32 (1352 vs 1020 — coarse 1-2 s tasks
     straggle in this guest's steal windows). The default is therefore
     OFF: the union already hides the per-task cost. Against the plain
-    process pool (scripts/mp_control.py mixed) the picture depends on
-    the steal window: at 8 workers Spark led every window measured
-    (843 vs 504 docs/s); at 32 the measured ranges OVERLAP — Spark
-    1352-1464 vs mp 1288-1958 docs/s across the r3/r4 windows — so no
-    blanket winner claim holds at 32 (VERDICT r4 "what's wrong" 3). Set
+    process pool the authoritative comparison is the round-5 PAIRED
+    same-window protocol (scripts/ab_mixed.py, BENCH.md): on the same
+    disk-to-docs job the median Spark/pool ratio is 1.003 at 32 workers
+    and 0.928 at 8 (pairs span 0.83-1.18) — parity within noise; the
+    r3/r4 unpaired window ranges that suggested a pool lead compared a
+    RAM-fed control against the disk-fed pipeline. Set
     ``SPARK_GRAFT_CHEAP_TASKS_PER_CORE=1`` (or higher) on deployments
     where per-task fixed cost is the measured bottleneck (many tiny
     executors; scalar stages without a heavy sibling stage to overlap)."""
