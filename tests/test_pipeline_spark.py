@@ -25,6 +25,23 @@ def _run(spark, pdf, n_parts):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _norm_nested(cells):
+    """Normalize a spans/lines/blocks cell — list of pyspark Rows or
+    golden dicts (or None/empty) — to a comparable tuple-of-tuples with
+    keys in sorted order, so golden-vs-spark and plan-vs-plan compares
+    are exact (floats must be bit-identical: same kernels, same math)."""
+    if cells is None or (hasattr(cells, "__len__") and len(cells) == 0):
+        return ()
+    out = []
+    for c in cells:
+        d = c.asDict() if hasattr(c, "asDict") else dict(c)
+        out.append(tuple((k, d[k]) for k in sorted(d)))
+    return tuple(out)
+
+
+NESTED = ["spans", "lines", "blocks"]
+
+
 def test_spark_matches_golden(spark, corpus):
     out = _run(spark, corpus, 4)
     golden = extract_corpus_golden(corpus).sort_values("url").reset_index(drop=True)
@@ -34,6 +51,11 @@ def test_spark_matches_golden(spark, corpus):
         assert r.text == g.loc[r.url, "text"], r.url
         assert r.aozora == g.loc[r.url, "aozora"]
         assert r.noruby == g.loc[r.url, "noruby"]
+        # north rule: text AND spans per document — the nested span/line/
+        # block structures must match the golden exactly, not just exist
+        for col in NESTED:
+            assert _norm_nested(getattr(r, col)) == \
+                _norm_nested(g.loc[r.url, col]), (r.url, col)
 
 
 def test_partitioning_invariance(spark, corpus):
@@ -43,12 +65,15 @@ def test_partitioning_invariance(spark, corpus):
         a[["url", "text", "aozora", "noruby", "path"]],
         b[["url", "text", "aozora", "noruby", "path"]],
     )
+    for col in NESTED:
+        assert a[col].map(_norm_nested).equals(b[col].map(_norm_nested))
 
 
 def test_unified_matches_legs_matches_staged(spark, corpus):
     """All three plan shapes — the default one-kernel unified path, the
     three-leg union, and the staged two-exchange raster variant — must
-    produce byte-identical documents (same per-page kernels)."""
+    produce byte-identical documents (same per-page kernels), including
+    the nested span/line/block structures."""
     pages = pages_from_pandas(spark, corpus).repartition(4, "url")
     cols = ["url", "text", "aozora", "noruby", "path"]
     unified = (extract_documents(pages).toPandas()
@@ -57,6 +82,10 @@ def test_unified_matches_legs_matches_staged(spark, corpus):
             .sort_values("url").reset_index(drop=True))
     staged = (extract_documents(pages, staged=True).toPandas()
               .sort_values("url").reset_index(drop=True))
+    for col in NESTED:
+        u = unified[col].map(_norm_nested)
+        assert u.equals(legs[col].map(_norm_nested)), col
+        assert u.equals(staged[col].map(_norm_nested)), col
     pd.testing.assert_frame_equal(unified[cols], legs[cols])
     pd.testing.assert_frame_equal(unified[cols], staged[cols])
 
