@@ -57,6 +57,85 @@ def test_escapes_and_operators():
     assert extract_pdf_text(pdf) == flat_text(paras)
 
 
+def test_filter_chains_roundtrip():
+    """Round-5 realism widening: every stdlib-decodable /Filter shape —
+    single names, chains in declaration order, hex-string show ops, and
+    an indirect /Length object — extracts byte-identically to the plain
+    render of the same paragraphs."""
+    rng = np.random.default_rng(19)
+    for lang in ("en", "ja"):
+        paras = make_text(rng, lang, 3, lang == "ja")
+        want = flat_text(paras)
+        for filt in ([], ["FlateDecode"], ["ASCIIHexDecode"],
+                     ["ASCII85Decode"], ["LZWDecode"],
+                     ["ASCII85Decode", "FlateDecode"],
+                     ["ASCIIHexDecode", "LZWDecode"]):
+            pdf = render_pdf(paras, rng, filters=filt)
+            assert extract_pdf_text(pdf) == want, (lang, filt)
+        pdf = render_pdf(paras, rng, filters=["ASCII85Decode", "FlateDecode"],
+                         hex_frac=0.6, indirect_length=True)
+        assert b"/Length 6 0 R" in pdf
+        assert b"/Filter [ /ASCII85Decode /FlateDecode ]" in pdf
+        assert extract_pdf_text(pdf) == want, lang
+
+
+def test_hex_show_strings():
+    rng = np.random.default_rng(23)
+    paras = make_text(rng, "ja", 2, True)
+    pdf = render_pdf(paras, rng, filters=[], hex_frac=1.0)
+    assert b"> Tj" in pdf and b") Tj" not in pdf
+    assert extract_pdf_text(pdf) == flat_text(paras)
+    # odd final digit is padded with 0 (PDF 32000-1 7.3.4.3): <48656C6C6F2>
+    # reads as "Hello " (0x20)
+    blob = (b"%PDF-1.4\n<< /Length 48 >>\nstream\n"
+            b"BT /F1 10 Tf 72 770 Td <48656C6C6F2> Tj ET\nendstream")
+    assert extract_pdf_text(blob) == "Hello "
+
+
+def test_lzw_vectors():
+    """Decoder checked two independent ways: a hand-packed bitstream
+    (codes derived on paper from PDF 32000-1 7.4.4), and roundtrips
+    through the generator's encoder across the 9->12-bit width growth
+    and a full-table mid-stream Clear."""
+    from findtextcenternet_spark.operators.pdf import _lzw_decode, _lzw_encode
+
+    # Clear(256), 'A'(65), "AA"(258), 'A'(65), EOD(257) at width 9 -> AAAA
+    bits = "".join(format(c, "09b") for c in (256, 65, 258, 65, 257))
+    bits += "0" * (-len(bits) % 8)
+    enc = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert _lzw_decode(enc) == b"AAAA"
+
+    rng = np.random.default_rng(5)
+    for n, hi in ((200_000, 8), (60_000, 250), (300_000, 2)):
+        data = bytes(rng.integers(0, hi, n, dtype=np.uint8))
+        assert _lzw_decode(_lzw_encode(data)) == data
+    assert _lzw_decode(_lzw_encode(b"")) == b""
+    assert _lzw_decode(_lzw_encode(b"x")) == b"x"
+
+
+def test_png_predictor_stream():
+    """/DecodeParms /Predictor 12 (PNG Up) reverses through the shared
+    RFC 2083 row unfilter before the BT/ET parse."""
+    import zlib as _z
+
+    content = b"BT /F1 10 Tf 72 770 Td (predicted stream) Tj ET"
+    cols = 16
+    content += b" " * (-len(content) % cols)  # whole rows; spaces are no-ops
+    rows = [content[i:i + cols] for i in range(0, len(content), cols)]
+    filtered = bytearray()
+    prev = bytes(cols)
+    for row in rows:  # forward PNG "Up" filter
+        filtered.append(2)
+        filtered.extend((b - p) & 0xFF for b, p in zip(row, prev))
+        prev = row
+    data = _z.compress(bytes(filtered))
+    blob = (b"%PDF-1.4\n<< /Length " + str(len(data)).encode()
+            + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            b"/Columns " + str(cols).encode() + b" >> >>\nstream\n"
+            + data + b"\nendstream")
+    assert extract_pdf_text(blob) == "predicted stream"
+
+
 def test_guards():
     import zlib
 
