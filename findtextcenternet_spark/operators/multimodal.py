@@ -204,9 +204,10 @@ def decode_image_bytes(blob: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
         return decode_jpeg(blob)
     raise NotImplementedError(
-        "no codec for this format: baseline decoders cover PNG (8-bit, "
-        "non-interlaced), BMP (BI_RGB), binary PNM and baseline-sequential "
-        "JPEG; install PIL for progressive JPEG/WEBP/TIFF")
+        "no codec for this format: bundled decoders cover PNG (8-bit, "
+        "non-interlaced), BMP (BI_RGB), binary PNM and sequential + "
+        "progressive Huffman JPEG; install PIL for arithmetic/lossless "
+        "JPEG, WEBP, TIFF")
 
 
 def _decode(blob: bytes) -> tuple[int, int, int, int, np.ndarray]:

@@ -452,13 +452,327 @@ def test_jpeg_restart_markers():
     assert int(np.abs(got.astype(int) - recon.astype(int)).max()) <= 1
 
 
-def test_jpeg_progressive_raises():
+def _trunc_shift(a: np.ndarray, al: int) -> np.ndarray:
+    """AC point transform (T.81 G.1.2.1): divide by 2^al truncating
+    toward zero."""
+    return np.sign(a) * (np.abs(a) >> al)
+
+
+def _encode_jpeg_progressive(img: np.ndarray, subsampling=(1, 1),
+                             qy: int = 4, qc: int = 8):
+    """Independent spec-following PROGRESSIVE JPEG writer (T.81 annex G).
+
+    Scan script: interleaved DC first (Al=1) + DC refinement, then per
+    component AC first scans over two spectral bands (1-5, 6-63, Al=1)
+    and one AC refinement scan (1-63, Ah=1 -> Al=0) — exercising spectral
+    selection, successive approximation on both DC and AC, EOB runs
+    across blocks, ZRL inside refinement, and per-scan Huffman table
+    redefinition. The final coefficients equal the baseline quantized
+    values exactly, so the reference reconstruction is the same as
+    ``_encode_jpeg``'s and the decoder must match it within IDCT
+    rounding (+-1)."""
+    import struct
+
+    from findtextcenternet_spark.operators.jpeg import ZIGZAG
+
+    # reuse the baseline writer's forward path (planes, quant, recon) by
+    # running it and rebuilding only the entropy layer progressively
+    base_blob, recon = _encode_jpeg(img, subsampling=subsampling,
+                                    qy=qy, qc=qc)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    hs, vs = (1, 1) if gray else subsampling
+    mw, mh = 8 * hs, 8 * vs
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    # re-derive the quantized blocks exactly as _encode_jpeg does
+    comps, qtab = _quantized_comps(img, subsampling, qy, qc)
+    mcux, mcuy = pw // mw, ph // mh
+
+    def zz_block(c, by, bx):
+        return c["quant"][by, bx].reshape(-1)[ZIGZAG]
+
+    def dc_units():
+        """(comp, tid, by, bx) in interleaved MCU order."""
+        for mi in range(mcux * mcuy):
+            my, mx = divmod(mi, mcux)
+            for ci, c in enumerate(comps):
+                tid = 0 if ci == 0 else 1
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        yield c, tid, my * c["v"] + by, mx * c["h"] + bx
+
+    scans = []  # (comp_list, tids, Ss, Se, Ah, Al, events)
+
+    # --- DC first scan (Al=1), interleaved ---
+    ev = []
+    preds = {c["id"]: 0 for c in comps}
+    for c, tid, by, bx in dc_units():
+        v1 = int(zz_block(c, by, bx)[0]) >> 1     # arithmetic shift (floor)
+        diff = v1 - preds[c["id"]]
+        preds[c["id"]] = v1
+        t = _jpeg_category(diff)
+        ev.append(("s", "dc", tid, t))
+        if t:
+            ev.append(("b", diff if diff >= 0 else diff + (1 << t) - 1, t))
+    scans.append((comps, 0, 0, 0, 1, ev))
+
+    # --- DC refinement (Ah=1, Al=0): one raw bit per block, no tables ---
+    ev = [("b", int(zz_block(c, by, bx)[0]) & 1, 1)
+          for c, tid, by, bx in dc_units()]
+    scans.append((comps, 0, 0, 1, 0, ev))
+
+    # --- AC scans: non-interleaved, raster over NON-PADDED block dims ---
+    for ci, c in enumerate(comps):
+        tid = 0 if ci == 0 else 1
+        # component sample dims (T.81 A.1.1) relative to the luma grid
+        if ci == 0:
+            cw_s, ch_s = w, h
+        else:
+            cw_s, ch_s = -(-w // hs), -(-h // vs)
+        bwc, bhc = -(-cw_s // 8), -(-ch_s // 8)
+
+        def blocks():
+            for bi in range(bwc * bhc):
+                by, bx = divmod(bi, bwc)
+                yield zz_block(c, by, bx)
+
+        for ss, se in ((1, 5), (6, 63)):
+            scans.append(([c], ss, se, 0, 1,
+                          _ac_first_events(blocks(), tid, ss, se, 1)))
+        scans.append(([c], 1, 63, 1, 0,
+                      _ac_refine_events(blocks(), tid, 1, 63, 0)))
+
+    # --- emit ---
+    out = bytearray(b"\xff\xd8")
+    for tq, q in qtab.items():
+        if gray and tq == 1:
+            continue
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(q[z]) for z in range(64))
+    nc = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof   # SOF2
+
+    for scomps, ss, se, ah, al, ev in scans:
+        # per-scan canonical 9-bit tables over the used symbols
+        used: dict[tuple, set] = {}
+        for e in ev:
+            if e[0] == "s":
+                used.setdefault((e[1], e[2]), set()).add(e[3])
+        tables = {}
+        for (cls, tid), syms in sorted(used.items()):
+            symbols = sorted(syms)
+            counts = [0] * 16
+            counts[8] = len(symbols)
+            tables[(cls, tid)] = {s: (9, i) for i, s in enumerate(symbols)}
+            tc = 0 if cls == "dc" else 1
+            payload = bytes([(tc << 4) | tid]) + bytes(counts) \
+                + bytes(symbols)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) \
+                + payload
+        sos = bytes([len(scomps)])
+        for ci2, c in enumerate(scomps):
+            tid = 0 if (len(scomps) > 1 and ci2 == 0) or c is comps[0] \
+                else 1
+            sos += bytes([c["id"], (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw_ = _BitWriter()
+        for e in ev:
+            if e[0] == "s":
+                ln, code = tables[(e[1], e[2])][e[3]]
+                bw_.write(code, ln)
+            else:
+                bw_.write(e[1], e[2])
+        bw_.pad()
+        out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out), recon
+
+
+def _quantized_comps(img, subsampling, qy, qc):
+    """The forward DCT+quantize stage of ``_encode_jpeg``, shared with
+    the progressive writer (same math, same blocks)."""
+    from findtextcenternet_spark.operators.jpeg import _DCT_T
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    hs, vs = (1, 1) if gray else subsampling
+    mw, mh = 8 * hs, 8 * vs
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    padded = np.pad(img.astype(np.float64),
+                    [(0, ph - h), (0, pw - w)] + ([] if gray else [(0, 0)]),
+                    mode="edge")
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": padded}]
+    else:
+        r, g, b = padded[..., 0], padded[..., 1], padded[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+        def down(p):
+            return p.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+        comps = [
+            {"id": 1, "h": hs, "v": vs, "tq": 0, "plane": y},
+            {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": down(cb)},
+            {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": down(cr)},
+        ]
+    qtab = {0: np.full(64, qy, dtype=np.int32),
+            1: np.full(64, qc, dtype=np.int32)}
+    for c in comps:
+        p = c["plane"]
+        bh, bw2 = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p.reshape(bh, 8, bw2, 8).transpose(0, 2, 1, 3) - 128.0)
+        coef = np.einsum("ki,nmij,jl->nmkl", _DCT_T, blocks, _DCT_T.T)
+        q = qtab[c["tq"]].reshape(8, 8)
+        c["quant"] = np.round(coef / q).astype(np.int32)
+    return comps, qtab
+
+
+def _ac_first_events(blocks, tid, ss, se, al):
+    """AC first-scan events with EOB runs across blocks (T.81 G.2.2)."""
+    ev = []
+    pending = 0
+
+    def flush():
+        nonlocal pending
+        if pending:
+            r = pending.bit_length() - 1
+            ev.append(("s", "ac", tid, r << 4))
+            if r:
+                ev.append(("b", pending - (1 << r), r))
+            pending = 0
+
+    for zz in blocks:
+        t = _trunc_shift(zz[ss:se + 1].astype(np.int64), al)
+        nz = np.nonzero(t)[0]
+        if len(nz) == 0:
+            pending += 1
+            if pending == 32767:
+                flush()
+            continue
+        flush()
+        run = 0
+        for j in range(int(nz[-1]) + 1):
+            v = int(t[j])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ev.append(("s", "ac", tid, 0xF0))
+                run -= 16
+            s = _jpeg_category(v)
+            ev.append(("s", "ac", tid, (run << 4) | s))
+            ev.append(("b", v if v >= 0 else v + (1 << s) - 1, s))
+            run = 0
+        if int(nz[-1]) < se - ss:
+            pending = 1        # EOB run starts at (and covers) this block
+    flush()
+    return ev
+
+
+def _ac_refine_events(blocks, tid, ss, se, al):
+    """AC refinement events (T.81 G.1.2.3): newly-significant +-2^al
+    stops, positional correction bits for nonzero-history coefficients,
+    ZRL splitting of long zero-history runs, EOB runs carrying each
+    covered block's correction-bit tail."""
+    ev = []
+    pending = None   # list of per-block correction-bit tails in the run
+
+    def flush():
+        nonlocal pending
+        if pending is not None:
+            e = len(pending)
+            r = e.bit_length() - 1
+            ev.append(("s", "ac", tid, r << 4))
+            if r:
+                ev.append(("b", e - (1 << r), r))
+            for tail in pending:
+                for b in tail:
+                    ev.append(("b", b, 1))
+            pending = None
+
+    for zz in blocks:
+        v = zz[ss:se + 1].astype(np.int64)
+        hist = _trunc_shift(v, al + 1)
+        stops = np.nonzero((hist == 0) & (v != 0))[0]
+        if len(stops) == 0:
+            tail = [int(abs(int(v[j]))) & 1
+                    for j in range(len(v)) if hist[j] != 0]
+            pending = (pending or []) + [tail]
+            if len(pending) == 32767:
+                flush()
+            continue
+        flush()
+        zero_cnt = 0
+        buf: list[int] = []
+        last_stop = int(stops[-1])
+        for j in range(last_stop + 1):
+            if hist[j] != 0:
+                buf.append(int(abs(int(v[j]))) & 1)
+            elif v[j] != 0:
+                ev.append(("s", "ac", tid, (zero_cnt << 4) | 1))
+                ev.append(("b", 1 if v[j] > 0 else 0, 1))
+                ev.extend(("b", b, 1) for b in buf)
+                buf, zero_cnt = [], 0
+            else:
+                zero_cnt += 1
+                if zero_cnt == 16:
+                    ev.append(("s", "ac", tid, 0xF0))
+                    ev.extend(("b", b, 1) for b in buf)
+                    buf, zero_cnt = [], 0
+        if last_stop < len(v) - 1:
+            # trailing positions: current block opens an EOB run whose
+            # first tail is its remaining correction bits
+            pending = [[int(abs(int(v[j]))) & 1
+                        for j in range(last_stop + 1, len(v))
+                        if hist[j] != 0]]
+    flush()
+    return ev
+
+
+def test_jpeg_progressive_gray_roundtrip():
+    from findtextcenternet_spark.operators.jpeg import decode_jpeg
+    img = _smooth_test_image(48, 64, 1, seed=11)
+    blob, recon = _encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in blob                  # really SOF2
+    got = decode_jpeg(blob)
+    assert got.shape == (48, 64)
+    assert int(np.abs(got.astype(int) - recon.astype(int)).max()) <= 1
+
+
+@pytest.mark.parametrize("subsampling", [(1, 1), (2, 1), (2, 2)])
+def test_jpeg_progressive_color(subsampling):
+    from findtextcenternet_spark.operators.jpeg import decode_jpeg
+    img = _smooth_test_image(41, 53, 3, seed=23)
+    blob, recon = _encode_jpeg_progressive(img, subsampling=subsampling)
+    got = decode_jpeg(blob)
+    assert got.shape == (41, 53, 3)
+    assert int(np.abs(got.astype(int) - recon.astype(int)).max()) <= 1
+    assert float(np.abs(got.astype(int) - img.astype(int)).mean()) < 8.0
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """The same image encoded sequentially and progressively decodes to
+    the same pixels (identical final coefficients by construction)."""
+    from findtextcenternet_spark.operators.jpeg import decode_jpeg
+    img = _smooth_test_image(33, 47, 3, seed=57)   # odd dims: padded
+    # blocks exist in the interleaved DC grid but not in the AC scans
+    seq, _ = _encode_jpeg(img, subsampling=(2, 2))
+    prog, _ = _encode_jpeg_progressive(img, subsampling=(2, 2))
+    assert np.array_equal(decode_jpeg(seq), decode_jpeg(prog))
+
+
+def test_jpeg_arithmetic_coding_raises():
     from findtextcenternet_spark.operators.jpeg import decode_jpeg
     img = _smooth_test_image(16, 16, 1, seed=5)
     blob, _ = _encode_jpeg(img)
-    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        decode_jpeg(prog)
+    arith = blob.replace(b"\xff\xc0", b"\xff\xc9", 1)  # SOF9: arithmetic
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(arith)
 
 
 def test_real_jpeg_through_spark_feature_extract(spark):
