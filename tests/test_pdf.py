@@ -113,6 +113,41 @@ def test_lzw_vectors():
     assert _lzw_decode(_lzw_encode(b"x")) == b"x"
 
 
+def test_filter_chain_property_fuzz():
+    """Property fuzz: arbitrary binary payloads through arbitrary filter
+    chains decode back byte-identically via _apply_filters (the exact
+    stream-decode path), including whitespace-riddled ASCII forms."""
+    from hypothesis import given, settings, strategies as st
+
+    from findtextcenternet_spark.operators.pdf import (
+        _ENCODERS,
+        _apply_filters,
+    )
+
+    names = sorted(_ENCODERS)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(min_size=0, max_size=3000),
+           st.lists(st.sampled_from(names), min_size=1, max_size=3),
+           st.randoms(use_true_random=False))
+    def run(payload, chain, rnd):
+        data = payload
+        for name in reversed(chain):
+            data = _ENCODERS[name](data)
+        if chain[0] in ("ASCIIHexDecode", "ASCII85Decode"):
+            # ASCII filters tolerate arbitrary interior whitespace
+            cut = rnd.randrange(len(data) + 1)
+            data = data[:cut] + b"\n \t" + data[cut:]
+        if len(chain) == 1:
+            dct = b"<< /Filter /" + chain[0].encode() + b" >>"
+        else:
+            dct = (b"<< /Filter [ "
+                   + b" ".join(b"/" + c.encode() for c in chain) + b" ] >>")
+        assert _apply_filters(data, dct) == payload
+
+    run()
+
+
 def test_png_predictor_stream():
     """/DecodeParms /Predictor 12 (PNG Up) reverses through the shared
     RFC 2083 row unfilter before the BT/ET parse."""
