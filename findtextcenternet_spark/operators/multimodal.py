@@ -203,9 +203,12 @@ def decode_image_bytes(blob: bytes) -> np.ndarray:
     if blob[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
         return decode_jpeg(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+        return decode_gif(blob)
     raise NotImplementedError(
         "no codec for this format: bundled decoders cover PNG (8-bit, "
-        "non-interlaced), BMP (BI_RGB), binary PNM and sequential + "
+        "non-interlaced), BMP (BI_RGB), binary PNM, GIF, and sequential + "
         "progressive Huffman JPEG; install PIL for arithmetic/lossless "
         "JPEG, WEBP, TIFF")
 

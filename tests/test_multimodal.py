@@ -766,6 +766,193 @@ def test_jpeg_progressive_matches_baseline_decode():
     assert np.array_equal(decode_jpeg(seq), decode_jpeg(prog))
 
 
+class _LsbBitWriter:
+    """LSB-first bit writer (GIF packing order, the opposite of JPEG)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, bits: int):
+        for i in range(bits):
+            self.acc |= ((v >> i) & 1) << self.n
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc, self.n = 0, 0
+
+    def pad(self):
+        if self.n:
+            self.out.append(self.acc)
+            self.acc, self.n = 0, 0
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """Independent GIF LZW writer (spec appendix F): LSB-first variable
+    width codes, no early change, Clear emitted up front and whenever the
+    table fills 4096 entries. Width growth mirrors the DECODER's table
+    length (one entry per code except the first after a clear)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    bw = _LsbBitWriter()
+    width = mcs + 1
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = clear + 2
+    dec_len = clear + 2
+    first = True
+    bw.write(clear, width)
+
+    def emit(code):
+        nonlocal width, dec_len, first
+        bw.write(code, width)
+        if first:
+            first = False
+        else:
+            dec_len = min(dec_len + 1, 4096)
+        if dec_len >= (1 << width) and width < 12:
+            width += 1
+
+    run = b""
+    for b in bytes(indices):
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if nxt >= 4096:
+            bw.write(clear, width)
+            width = mcs + 1
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = clear + 2
+            dec_len = clear + 2
+            first = True
+        else:
+            table[cand] = nxt
+            nxt += 1
+        run = bytes([b])
+    if run:
+        emit(table[run])
+    bw.write(eoi, width)
+    bw.pad()
+    return bytes(bw.out)
+
+
+_GIF_INTERLACE = lambda h: (list(range(0, h, 8)) + list(range(4, h, 8))
+                            + list(range(2, h, 4)) + list(range(1, h, 2)))
+
+
+def _encode_gif(img: np.ndarray, interlace=False, local_table=False,
+                flavor=b"GIF87a", extensions=False, screen=None,
+                offset=(0, 0), bg_index=0, sub_block=255) -> bytes:
+    """Independent spec-following GIF writer. ``img`` is (h, w, 3) uint8
+    with <=256 distinct colors (palette formats are lossless, so the
+    decoder's output must equal ``img`` exactly)."""
+    import struct
+
+    h, w = img.shape[:2]
+    sw, sh = screen or (w, h)
+    colors, inv = np.unique(img.reshape(-1, 3), axis=0, return_inverse=True)
+    size_field = max(1, (len(colors) - 1).bit_length()) - 1
+    n_table = 2 << size_field
+    pal = np.zeros((n_table, 3), dtype=np.uint8)
+    pal[:len(colors)] = colors
+    mcs = max(2, size_field + 1)
+    idx = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        idx = idx[_GIF_INTERLACE(h)]
+
+    out = bytearray(flavor)
+    out += struct.pack("<HHBBB", sw, sh, 0x70 | (0x00 if local_table
+                                                 else 0x80 | size_field),
+                       bg_index, 0)
+    if not local_table:
+        out += pal.tobytes()
+    if extensions:
+        # graphic control + comment extensions: decoder must skip both
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += b"\x21\xfe\x05hello\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", offset[0], offset[1], w, h,
+                                 (0x40 if interlace else 0)
+                                 | (0x80 | size_field if local_table else 0))
+    if local_table:
+        out += pal.tobytes()
+    out += bytes([mcs])
+    lzw = _gif_lzw_encode(idx.tobytes(), mcs)
+    for i in range(0, len(lzw), sub_block):
+        chunk = lzw[i:i + sub_block]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _quantized_rgb(h, w, seed, levels=4):
+    img = _smooth_test_image(h, w, 3, seed=seed)
+    return (img // (256 // levels)) * (256 // levels)
+
+
+def test_gif_roundtrip_exact():
+    from findtextcenternet_spark.operators.gif import decode_gif
+    img = _quantized_rgb(37, 51, seed=3)
+    blob = _encode_gif(img)
+    assert blob[:6] == b"GIF87a"
+    assert np.array_equal(decode_gif(blob), img)   # lossless: byte-exact
+
+
+def test_gif_interlaced_and_small_subblocks():
+    from findtextcenternet_spark.operators.gif import decode_gif
+    img = _quantized_rgb(40, 33, seed=7)
+    blob = _encode_gif(img, interlace=True, sub_block=13)
+    assert np.array_equal(decode_gif(blob), img)
+
+
+def test_gif89a_extensions_local_table_offset():
+    """89a extensions are skipped; a local color table overrides; an
+    image smaller than the logical screen composes onto the background
+    color."""
+    from findtextcenternet_spark.operators.gif import decode_gif
+    img = _quantized_rgb(16, 24, seed=9)
+    blob = _encode_gif(img, flavor=b"GIF89a", extensions=True,
+                       local_table=True, screen=(40, 30), offset=(5, 8))
+    got = decode_gif(blob)
+    assert got.shape == (30, 40, 3)
+    assert np.array_equal(got[8:24, 5:29], img)
+    # local-table GIF has no global table: the canvas background is the
+    # image palette's bg_index (=0) entry everywhere outside the image
+    pal0 = np.unique(img.reshape(-1, 3), axis=0)[0]
+    assert np.array_equal(got[0, 0], pal0)
+    assert np.array_equal(got[29, 39], pal0)
+
+
+def test_gif_lzw_table_fill_and_width_growth():
+    """A large high-entropy index image forces the code width to 12 bits
+    and the 4096-entry table to fill, exercising the mid-stream Clear on
+    both sides."""
+    from findtextcenternet_spark.operators.gif import decode_gif
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    pal = np.unique(pal, axis=0)               # distinct colors
+    idx = rng.integers(0, len(pal), (120, 140))
+    img = pal[idx]
+    blob = _encode_gif(img)
+    assert np.array_equal(decode_gif(blob), img)
+
+
+def test_real_gif_through_spark_feature_extract(spark):
+    from findtextcenternet_spark.operators import multimodal as mm2
+    img = _quantized_rgb(24, 40, seed=41)
+    blob = _encode_gif(img)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0], "blob": [blob]}),
+        "media_id long, blob binary")
+    meta = mm2.with_media_meta(df).toPandas().iloc[0]
+    assert (meta["width"], meta["height"], meta["kind"]) == (40, 24,
+                                                             mm2.KIND_IMAGE)
+    feat = np.array(mm2.extract_features(df).toPandas()["feature"].iloc[0])
+    assert feat.shape == (mm2.FEATURE_DIM,)
+    assert abs(np.linalg.norm(feat) - 1.0) < 1e-5
+
+
 def test_jpeg_arithmetic_coding_raises():
     from findtextcenternet_spark.operators.jpeg import decode_jpeg
     img = _smooth_test_image(16, 16, 1, seed=5)
