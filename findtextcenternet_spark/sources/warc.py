@@ -1,0 +1,233 @@
+"""WARC source — ingest Common-Crawl-style archives (north rule: the
+input is an Iceberg table of Common-Crawl-style web pages; this source
+is the step that PRODUCES that table from the crawl's native format).
+
+Layout mirrors how production Spark pipelines process Common Crawl: one
+~1 GB ``.warc.gz`` file per task via ``spark.read.format("binaryFile")``
+(file = partition; 100 TB = ~100k files = ~100k tasks, far above any
+executor count, so the stage load-balances itself), a ``mapInPandas``
+kernel that walks each archive's records incrementally (GzipFile
+streams the per-record gzip members — the archive is never materialized
+decompressed), and a standard pages-schema output that feeds straight
+into ``pipeline.extract_documents`` or the lineage runner.
+
+Format coverage (ISO 28500 / WARC 1.0, and RFC 9112 for the embedded
+HTTP):
+
+* plain ``.warc`` and ``.warc.gz`` (member-per-record, the Common Crawl
+  shape; GzipFile consumes concatenated members transparently);
+* only ``WARC-Type: response`` records carrying ``application/http``
+  payloads yield rows — warcinfo/request/metadata records are skipped;
+* chunked transfer-encoding is de-chunked, gzip/deflate
+  Content-Encoding is decompressed;
+* ``WARC-Target-URI`` → ``url``, ``WARC-Date`` (ISO 8601) → ``warc_ts``,
+  decoded HTTP body → ``html``.
+
+A structurally corrupt record poisons only its FILE TAIL, not the task:
+the reader stops at the first unparseable record and reports the rows
+salvaged before it plus an ``error`` marker row, matching the
+pipeline's row-level quarantine convention.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import io
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string, error string")
+
+
+def _read_headers(fp) -> dict[str, str] | None:
+    """One CRLF-terminated header block → dict (first line under
+    ``_proto``). Returns None at clean EOF."""
+    line = fp.readline()
+    while line in (b"\r\n", b"\n"):          # skip inter-record blank lines
+        line = fp.readline()
+    if not line:
+        return None
+    headers = {"_proto": line.strip().decode("latin-1")}
+    while True:
+        line = fp.readline()
+        if not line:
+            raise ValueError("WARC header block truncated")
+        if line in (b"\r\n", b"\n"):
+            return headers
+        if b":" not in line:
+            raise ValueError(f"malformed WARC header line {line[:60]!r}")
+        k, v = line.split(b":", 1)
+        headers[k.strip().decode("latin-1").lower()] = \
+            v.strip().decode("latin-1")
+
+
+def iter_warc_records(fp) -> Iterator[tuple[dict, bytes]]:
+    """Incrementally yield (headers, body) from a WARC byte stream."""
+    while True:
+        headers = _read_headers(fp)
+        if headers is None:
+            return
+        if not headers["_proto"].startswith("WARC/"):
+            raise ValueError(f"not a WARC record: {headers['_proto']!r}")
+        n = int(headers["content-length"])
+        body = fp.read(n)
+        if len(body) != n:
+            raise ValueError("WARC record body truncated")
+        yield headers, body
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Reverse HTTP/1.1 chunked transfer coding (RFC 9112 §7.1)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.index(b"\r\n", pos)
+        size = int(body[pos:eol].split(b";")[0], 16)   # ignore extensions
+        if size == 0:
+            return bytes(out)
+        out += body[eol + 2:eol + 2 + size]
+        pos = eol + 2 + size + 2                       # skip chunk CRLF
+
+
+def parse_http_response(body: bytes) -> tuple[dict[str, str], bytes]:
+    """(headers, decoded payload) from raw HTTP response bytes: status
+    line + headers, de-chunk, then reverse Content-Encoding."""
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("HTTP response has no header terminator")
+    headers: dict[str, str] = {}
+    lines = body[:sep].split(b"\r\n")
+    headers["_status"] = lines[0].decode("latin-1")
+    for line in lines[1:]:
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().decode("latin-1").lower()] = \
+                v.strip().decode("latin-1")
+    payload = body[sep + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        payload = _dechunk(payload)
+    enc = headers.get("content-encoding", "").lower()
+    if enc == "gzip":
+        payload = gzip.decompress(payload)
+    elif enc == "deflate":
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:                     # raw-deflate servers
+            payload = zlib.decompress(payload, -zlib.MAX_WBITS)
+    elif enc and enc != "identity":
+        raise ValueError(f"unsupported Content-Encoding {enc!r}")
+    return headers, payload
+
+
+def _parse_warc_date(s: str) -> dt.datetime:
+    return dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
+
+
+def pages_from_warc_bytes(blob: bytes) -> pd.DataFrame:
+    """One WARC archive (plain or gzip) → pages rows. Corruption stops
+    the walk and lands as ONE error row carrying the salvage count, so a
+    bad archive tail never fails the Spark task (the same row-level
+    quarantine contract as the extraction kernels)."""
+    raw = io.BytesIO(blob)
+    fp = gzip.GzipFile(fileobj=raw) if blob[:2] == b"\x1f\x8b" \
+        else io.BufferedReader(raw)
+    rows: list[dict] = []
+    try:
+        for headers, body in iter_warc_records(fp):
+            if headers.get("warc-type") != "response":
+                continue
+            if "application/http" not in headers.get("content-type", ""):
+                continue
+            _http, payload = parse_http_response(body)
+            rows.append({
+                "url": headers.get("warc-target-uri", ""),
+                "warc_ts": _parse_warc_date(headers["warc-date"]),
+                "html": payload,
+                "text": None,
+                "lang": "",
+                "error": None,
+            })
+    except (ValueError, KeyError, OSError, EOFError) as exc:
+        rows.append({"url": "", "warc_ts": None, "html": None,
+                     "text": None, "lang": "",
+                     "error": f"warc: {type(exc).__name__}: {exc} "
+                              f"(salvaged {len(rows)} rows)"})
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                       "lang", "error"])
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files → pages DataFrame (standard corpus schema + ``error``).
+
+    ``binaryFile`` yields one row per file, so each archive is one task —
+    the right grain for ~1 GB crawl files (Common Crawl's own Spark
+    examples use the same file-per-task layout). The record walk streams
+    the gzip members; peak memory is the compressed file + one record."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for blob in pdf["content"]:
+                yield pages_from_warc_bytes(bytes(blob))
+
+    return files.select("content").mapInPandas(_parse, PAGES_SCHEMA)
+
+
+# --- fixture writer (inverse of the parser) --------------------------------
+
+def write_warc(rows: list[dict], gzip_records: bool = True,
+               chunked_frac: float = 0.0, gzip_body_frac: float = 0.0,
+               rng=None) -> bytes:
+    """Corpus rows → a valid WARC/1.0 archive: a warcinfo record, then a
+    request record (must be skipped) and a response record per row.
+    ``chunked_frac``/``gzip_body_frac`` apply those HTTP codings to a
+    fraction of responses (drawn from ``rng``) to exercise the decode
+    paths."""
+    def record(rtype: str, uri: str | None, ts, body: bytes,
+               ctype: str) -> bytes:
+        hdr = [b"WARC/1.0",
+               b"WARC-Type: " + rtype.encode(),
+               b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+               b"WARC-Record-ID: <urn:uuid:%d>" % abs(hash((rtype, uri))),
+               b"Content-Type: " + ctype.encode(),
+               b"Content-Length: " + str(len(body)).encode()]
+        if uri:
+            hdr.append(b"WARC-Target-URI: " + uri.encode())
+        rec = b"\r\n".join(hdr) + b"\r\n\r\n" + body + b"\r\n\r\n"
+        return gzip.compress(rec) if gzip_records else rec
+
+    out = bytearray()
+    ts0 = dt.datetime(2024, 1, 1)
+    out += record("warcinfo", None, ts0, b"software: fixture-writer\r\n",
+                  "application/warc-fields")
+    for row in rows:
+        ts = row["warc_ts"].to_pydatetime() \
+            if hasattr(row["warc_ts"], "to_pydatetime") else row["warc_ts"]
+        out += record("request", row["url"], ts,
+                      b"GET / HTTP/1.1\r\nHost: x\r\n\r\n",
+                      "application/http; msgtype=request")
+        payload = bytes(row["html"])
+        http_hdr = [b"HTTP/1.1 200 OK",
+                    b"Content-Type: text/html"]
+        if rng is not None and rng.random() < gzip_body_frac:
+            payload = gzip.compress(payload)
+            http_hdr.append(b"Content-Encoding: gzip")
+        if rng is not None and rng.random() < chunked_frac:
+            chunks = bytearray()
+            for i in range(0, len(payload), 777):
+                part = payload[i:i + 777]
+                chunks += b"%x\r\n" % len(part) + part + b"\r\n"
+            chunks += b"0\r\n\r\n"
+            payload = bytes(chunks)
+            http_hdr.append(b"Transfer-Encoding: chunked")
+        else:
+            http_hdr.append(b"Content-Length: %d" % len(payload))
+        body = b"\r\n".join(http_hdr) + b"\r\n\r\n" + payload
+        out += record("response", row["url"], ts, body,
+                      "application/http; msgtype=response")
+    return bytes(out)

@@ -1,0 +1,108 @@
+"""WARC source: record/HTTP parsing units + Spark ingest to extraction."""
+
+import gzip
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from findtextcenternet_spark.corpus import generate_pages
+from findtextcenternet_spark.sources.warc import (
+    pages_from_warc_bytes,
+    parse_http_response,
+    read_warc,
+    write_warc,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages(60)
+
+
+def _rows(pdf: pd.DataFrame) -> list[dict]:
+    return pdf.to_dict("records")
+
+
+def test_roundtrip_plain_and_gzip(corpus):
+    rows = _rows(corpus)
+    for gz in (False, True):
+        blob = write_warc(rows, gzip_records=gz)
+        got = pages_from_warc_bytes(blob)
+        assert got["error"].isna().all()
+        assert list(got["url"]) == list(corpus["url"])
+        for h1, h2 in zip(got["html"], corpus["html"]):
+            assert bytes(h1) == bytes(h2)   # payload byte-exact
+        # warcinfo + request records were skipped
+        assert len(got) == len(corpus)
+
+
+def test_chunked_and_content_encoding(corpus):
+    rng = np.random.default_rng(5)
+    rows = _rows(corpus)
+    blob = write_warc(rows, gzip_records=True, chunked_frac=0.5,
+                      gzip_body_frac=0.5, rng=rng)
+    got = pages_from_warc_bytes(blob)
+    assert got["error"].isna().all()
+    for h1, h2 in zip(got["html"], corpus["html"]):
+        assert bytes(h1) == bytes(h2)
+    # the codings were actually drawn
+    assert b"Transfer-Encoding: chunked" in gzip.decompress(blob)
+
+
+def test_http_parse_units():
+    hdrs, payload = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n6;ext=1\r\n world\r\n0\r\n\r\n")
+    assert hdrs["_status"] == "HTTP/1.1 200 OK"
+    assert payload == b"hello world"
+    import zlib
+    hdrs, payload = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        + zlib.compress(b"abc"))
+    assert payload == b"abc"
+    with pytest.raises(ValueError, match="Content-Encoding"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxx")
+
+
+def test_corrupt_tail_salvages_rows(corpus):
+    rows = _rows(corpus)[:10]
+    blob = write_warc(rows, gzip_records=False)
+    got = pages_from_warc_bytes(blob + b"WARC/1.0\r\nbroken")
+    errs = got[got["error"].notna()]
+    assert len(errs) == 1
+    assert "salvaged 10 rows" in errs.iloc[0]["error"]
+    assert len(got) == 11                       # 10 good + 1 error marker
+    # truncated mid-record: same contract
+    got2 = pages_from_warc_bytes(blob[:len(blob) // 2])
+    assert got2["error"].notna().sum() == 1
+    assert got2["error"].isna().sum() < 10
+
+
+def test_spark_ingest_to_extraction(spark, tmp_path, corpus):
+    """WARC files on disk → read_warc → extract_documents reproduces the
+    golden text for every page — the full crawl-native ingest path."""
+    from findtextcenternet_spark.golden import extract_corpus_golden
+    from findtextcenternet_spark.pipeline import extract_documents
+
+    rows = _rows(corpus)
+    rng = np.random.default_rng(11)
+    d = tmp_path / "warcs"
+    d.mkdir()
+    for i in range(3):                          # 3 archives, 20 pages each
+        part = rows[i * 20:(i + 1) * 20]
+        (d / f"crawl-{i:02d}.warc.gz").write_bytes(
+            write_warc(part, gzip_records=True, chunked_frac=0.3,
+                       gzip_body_frac=0.3, rng=rng))
+    pages = read_warc(spark, str(d))
+    got_pages = pages.toPandas()
+    assert got_pages["error"].isna().all()
+    assert len(got_pages) == 60
+    docs = (extract_documents(pages.drop("error"))
+            .select("url", "text").toPandas().set_index("url"))
+    want = extract_corpus_golden(corpus).set_index("url")
+    assert len(docs) == 60
+    for url in want.index:
+        assert docs.loc[url, "text"] == want.loc[url, "text"], url
