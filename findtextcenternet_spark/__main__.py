@@ -2,13 +2,18 @@
 (reference: run_ocr.py:5-39 backend dispatch + glob loop).
 
     spark-submit --py-files pkg.zip -m findtextcenternet_spark ...   # or
-    python -m findtextcenternet_spark INPUT_PARQUET OUT_DIR
-        [--master local[32]] [--partitions N] [--run-id ID] [--streaming]
+    python -m findtextcenternet_spark INPUT OUT_DIR
+        [--format parquet|warc] [--master local[32]] [--partitions N]
+        [--run-id ID] [--streaming]
 
 Batch mode runs one resumable lineage-tracked extraction pass (re-invoking
-with the same OUT_DIR extracts only not-yet-done urls). --streaming tails
-INPUT_PARQUET as a file-source stream with checkpointed, idempotent
-(effectively-once) output instead.
+with the same OUT_DIR extracts only not-yet-done urls). ``--format warc``
+ingests crawl-native .warc/.warc.gz archives (sources/warc.py) instead of
+a pages parquet; archives whose tails are corrupt land their error-marker
+rows in the quarantine like any other poison page. --streaming tails
+INPUT as a file-source stream with checkpointed, idempotent
+(effectively-once) output instead (parquet input only: Structured
+Streaming has no binary-file source in OSS Spark).
 """
 
 from __future__ import annotations
@@ -20,16 +25,22 @@ import os
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="findtextcenternet_spark")
-    ap.add_argument("input", help="pages parquet (file, dir, or glob)")
+    ap.add_argument("input", help="pages parquet or WARC dir (file, dir, "
+                                  "or glob)")
     ap.add_argument("out_dir", help="output root (docs/ + _lineage/)")
+    ap.add_argument("--format", choices=("parquet", "warc"),
+                    default="parquet", dest="input_format")
     ap.add_argument("--master", default=None)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--streaming", action="store_true")
     args = ap.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from .sources.session import get_spark
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app="findtextcenternet-extract", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -47,11 +58,20 @@ def main(argv: list[str] | None = None) -> int:
 
     from .lineage import run_extract
 
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from .sources.warc import read_warc
+
+        # error-marker rows (corrupt archive tails) keep flowing: their
+        # html is null, so the pipeline quarantines them under the
+        # per-archive warc:tail-error:<path> url
+        pages = read_warc(spark, args.input).drop("error")
+    else:
+        pages = spark.read.parquet(args.input)
     summary = run_extract(pages, args.out_dir, run_id=args.run_id,
                           num_partitions=args.partitions)
     print(json.dumps({"mode": "batch", **summary}))
-    spark.stop()
+    if owns_session:          # don't tear down a caller-provided session
+        spark.stop()
     return 0
 
 

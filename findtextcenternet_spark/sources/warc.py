@@ -128,11 +128,15 @@ def _parse_warc_date(s: str) -> dt.datetime:
     return dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
 
 
-def pages_from_warc_bytes(blob: bytes) -> pd.DataFrame:
+def pages_from_warc_bytes(blob: bytes, source: str = "") -> pd.DataFrame:
     """One WARC archive (plain or gzip) → pages rows. Corruption stops
     the walk and lands as ONE error row carrying the salvage count, so a
     bad archive tail never fails the Spark task (the same row-level
-    quarantine contract as the extraction kernels)."""
+    quarantine contract as the extraction kernels). The error row's url
+    is ``warc:tail-error:<source>`` — a stable per-archive key, so the
+    lineage quarantine records WHICH archive to re-fetch and a re-run
+    over a repaired archive still extracts its pages (their own urls are
+    not in the done-set)."""
     raw = io.BytesIO(blob)
     fp = gzip.GzipFile(fileobj=raw) if blob[:2] == b"\x1f\x8b" \
         else io.BufferedReader(raw)
@@ -153,8 +157,8 @@ def pages_from_warc_bytes(blob: bytes) -> pd.DataFrame:
                 "error": None,
             })
     except (ValueError, KeyError, OSError, EOFError) as exc:
-        rows.append({"url": "", "warc_ts": None, "html": None,
-                     "text": None, "lang": "",
+        rows.append({"url": f"warc:tail-error:{source}", "warc_ts": None,
+                     "html": None, "text": None, "lang": "",
                      "error": f"warc: {type(exc).__name__}: {exc} "
                               f"(salvaged {len(rows)} rows)"})
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
@@ -172,10 +176,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            for blob in pdf["content"]:
-                yield pages_from_warc_bytes(bytes(blob))
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                yield pages_from_warc_bytes(bytes(blob), source=str(src))
 
-    return files.select("content").mapInPandas(_parse, PAGES_SCHEMA)
+    return files.select("path", "content").mapInPandas(_parse, PAGES_SCHEMA)
 
 
 # --- fixture writer (inverse of the parser) --------------------------------

@@ -81,6 +81,39 @@ def test_corrupt_tail_salvages_rows(corpus):
     assert got2["error"].isna().sum() < 10
 
 
+def test_cli_warc_ingest_resume_and_quarantine(spark, tmp_path, corpus):
+    """End-to-end CLI path: --format warc extracts a mixed archive set
+    (one archive has a corrupt tail), the tail lands in the quarantine
+    under its per-archive url, and a second invocation resumes to zero
+    new docs."""
+    import json
+
+    from findtextcenternet_spark.__main__ import main
+
+    rows = _rows(corpus)[:30]
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "good.warc.gz").write_bytes(write_warc(rows[:20]))
+    (d / "bad.warc").write_bytes(
+        write_warc(rows[20:], gzip_records=False) + b"WARC/1.0\r\nbroken")
+    out = tmp_path / "out"
+
+    rc = main([str(d), str(out), "--format", "warc", "--run-id", "r1"])
+    assert rc == 0
+    docs = spark.read.parquet(str(out / "docs"))
+    ok = docs.filter("error is null").toPandas()
+    assert len(ok) == 30
+    quar = spark.read.parquet(str(out / "_quarantine")).toPandas()
+    assert len(quar) == 1
+    assert quar.iloc[0]["url"].startswith("warc:tail-error:")
+    assert quar.iloc[0]["url"].endswith("bad.warc")
+
+    rc = main([str(d), str(out), "--format", "warc", "--run-id", "r2"])
+    assert rc == 0
+    docs2 = spark.read.parquet(str(out / "docs")).toPandas()
+    assert len(docs2) == len(docs.toPandas())   # resume: nothing re-done
+
+
 def test_spark_ingest_to_extraction(spark, tmp_path, corpus):
     """WARC files on disk → read_warc → extract_documents reproduces the
     golden text for every page — the full crawl-native ingest path."""
