@@ -12,8 +12,9 @@ ingests crawl-native .warc/.warc.gz archives (sources/warc.py) instead of
 a pages parquet; archives whose tails are corrupt land their error-marker
 rows in the quarantine like any other poison page. --streaming tails
 INPUT as a file-source stream with checkpointed, idempotent
-(effectively-once) output instead (parquet input only: Structured
-Streaming has no binary-file source in OSS Spark).
+(effectively-once) output instead; combined with ``--format warc`` it
+tails a crawl landing directory archive-by-archive (``binaryFile`` is a
+file-format source, so the checkpoint file log commits whole archives).
 """
 
 from __future__ import annotations
@@ -45,15 +46,25 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.streaming:
-        from .streaming import stream_extract_html
+        if args.input_format == "warc":
+            from .streaming import stream_extract_warc
 
-        q = stream_extract_html(
-            spark, args.input,
-            out_dir=os.path.join(args.out_dir, "docs"),
-            checkpoint_dir=os.path.join(args.out_dir, "_checkpoint"),
-            include_raster=True)
+            q = stream_extract_warc(
+                spark, args.input,
+                out_dir=os.path.join(args.out_dir, "docs"),
+                checkpoint_dir=os.path.join(args.out_dir, "_checkpoint"))
+        else:
+            from .streaming import stream_extract_html
+
+            q = stream_extract_html(
+                spark, args.input,
+                out_dir=os.path.join(args.out_dir, "docs"),
+                checkpoint_dir=os.path.join(args.out_dir, "_checkpoint"),
+                include_raster=True)
         q.awaitTermination()
         print(json.dumps({"mode": "streaming", "out": args.out_dir}))
+        if owns_session:
+            spark.stop()
         return 0
 
     from .lineage import run_extract

@@ -182,6 +182,36 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(_parse, PAGES_SCHEMA)
 
 
+_BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
+def read_warc_stream(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int = 4,
+                     glob: str = "*.warc*") -> DataFrame:
+    """Streaming twin of :func:`read_warc`: tail a crawl landing directory
+    as new ``.warc``/``.warc.gz`` archives arrive (the shape of a live
+    Common Crawl segment drop). ``binaryFile`` is a file-format source, so
+    the standard file-stream machinery applies — the checkpoint's file log
+    records which archives each micro-batch consumed, and a restarted
+    query resumes after the last committed archive. One archive = one
+    task, same grain as the batch reader; ``max_files_per_trigger`` bounds
+    a micro-batch to a few ~1 GB archives so trigger latency stays flat as
+    the landing dir grows."""
+    files = (spark.readStream.format("binaryFile")
+             .schema(_BINARYFILE_SCHEMA)
+             .option("pathGlobFilter", glob)
+             .option("maxFilesPerTrigger", str(max_files_per_trigger))
+             .load(input_dir))
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                yield pages_from_warc_bytes(bytes(blob), source=str(src))
+
+    return files.select("path", "content").mapInPandas(_parse, PAGES_SCHEMA)
+
+
 # --- fixture writer (inverse of the parser) --------------------------------
 
 def write_warc(rows: list[dict], gzip_records: bool = True,

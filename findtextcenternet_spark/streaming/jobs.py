@@ -83,6 +83,39 @@ def stream_extract_html(spark: SparkSession, input_dir: str,
             .trigger(availableNow=True).start())
 
 
+def stream_extract_warc(spark: SparkSession, input_dir: str,
+                        out_dir: str, checkpoint_dir: str,
+                        max_files_per_trigger: int = 4):
+    """Streaming crawl-native extraction: tail a WARC landing directory
+    and run the FULL batch pipeline on each micro-batch of archives.
+
+    Source grain is one archive per file-log entry (sources/warc.py), so
+    "effectively-once" composes cleanly: the checkpoint commits archives,
+    and every page of a committed archive is in exactly one micro-batch.
+    Each batch writes its own ``batch_id=<id>`` partition with overwrite —
+    a replayed batch (crash between sink write and checkpoint commit)
+    overwrites itself instead of duplicating. Error-marker rows from
+    corrupt archive tails flow through ``extract_documents``'s quarantine
+    (null html → error row under the per-archive ``warc:tail-error:``
+    url), so a bad archive never stalls the stream."""
+    import os
+
+    from ..pipeline import extract_documents
+    from ..sources.warc import read_warc_stream
+
+    pages = read_warc_stream(spark, input_dir,
+                             max_files_per_trigger=max_files_per_trigger)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (extract_documents(batch_df.drop("error"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
+
+    return (pages.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 def stream_quality_windows(spark: SparkSession, input_dir: str,
                            watermark: str = "10 minutes",
                            window: str = "1 hour"):

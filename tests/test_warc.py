@@ -114,6 +114,45 @@ def test_cli_warc_ingest_resume_and_quarantine(spark, tmp_path, corpus):
     assert len(docs2) == len(docs.toPandas())   # resume: nothing re-done
 
 
+def test_stream_extract_warc_incremental(spark, tmp_path, corpus):
+    """Streaming crawl ingest: tail a landing dir of WARC archives with a
+    checkpointed query; a restart picks up ONLY newly-landed archives
+    (no re-extraction, no duplicates), a corrupt tail flows to an error
+    row instead of stalling the stream, and the streamed text matches the
+    golden per url."""
+    from findtextcenternet_spark.golden import extract_corpus_golden
+    from findtextcenternet_spark.streaming import stream_extract_warc
+
+    rows = _rows(corpus)[:24]
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "seg0.warc.gz").write_bytes(write_warc(rows[:12]))
+    out, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+
+    q = stream_extract_warc(spark, str(land), out, ckpt)
+    q.awaitTermination(240)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 12 and got["error"].isna().all()
+
+    # two new archives land (one with a corrupt tail); the restarted
+    # query resumes from the checkpoint and processes only the new files
+    (land / "seg1.warc.gz").write_bytes(write_warc(rows[12:]))
+    (land / "seg2.warc").write_bytes(
+        write_warc([], gzip_records=False) + b"WARC/1.0\r\nbroken")
+    q2 = stream_extract_warc(spark, str(land), out, ckpt)
+    q2.awaitTermination(240)
+    got2 = spark.read.parquet(out).toPandas()
+    ok = got2[got2["error"].isna()]
+    assert len(ok) == 24 and ok["url"].nunique() == 24
+    bad = got2[got2["error"].notna()]
+    assert len(bad) == 1
+    assert bad.iloc[0]["url"].endswith("seg2.warc")
+
+    want = extract_corpus_golden(corpus.iloc[:24]).set_index("url")
+    for _, r in ok.iterrows():
+        assert r["text"] == want.loc[r["url"], "text"]
+
+
 def test_spark_ingest_to_extraction(spark, tmp_path, corpus):
     """WARC files on disk → read_warc → extract_documents reproduces the
     golden text for every page — the full crawl-native ingest path."""
