@@ -212,6 +212,117 @@ def read_warc_stream(spark: SparkSession, input_dir: str,
     return files.select("path", "content").mapInPandas(_parse, PAGES_SCHEMA)
 
 
+# --- WET sink/source (crawl-native extracted-text archives) ----------------
+
+_WET_MANIFEST = "path string, n_records long, bytes long"
+
+
+def _wet_record(url: str, ts, text: str) -> bytes:
+    """One WARC/1.0 ``conversion`` record (the WET shape: plain-text body,
+    no HTTP envelope), gzip-compressed as its own member — Common Crawl's
+    member-per-record layout, so readers can stream records without
+    decompressing the whole shard."""
+    body = text.encode("utf-8")
+    when = dt.datetime(1970, 1, 1) if ts is None or pd.isna(ts) else ts
+    hdr = [b"WARC/1.0",
+           b"WARC-Type: conversion",
+           b"WARC-Target-URI: " + url.encode(),
+           b"WARC-Date: " + when.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+           b"WARC-Record-ID: <urn:uuid:%d>" % abs(hash(("wet", url))),
+           b"Content-Type: text/plain",
+           b"Content-Length: " + str(len(body)).encode()]
+    return gzip.compress(b"\r\n".join(hdr) + b"\r\n\r\n" + body + b"\r\n\r\n")
+
+
+def write_wet(docs: DataFrame, out_dir: str) -> DataFrame:
+    """Extracted docs → ``.warc.wet.gz`` shards (the format Common Crawl
+    itself publishes extracted text in), one shard per partition, named by
+    partition id. Returns the shard manifest (path, n_records, bytes) —
+    the ACTION is the returned DataFrame's evaluation, so callers collect
+    or write the manifest to run the sink.
+
+    Scale shape: one output file per input partition with no extra
+    shuffle — size shards by ``repartition(n)`` upstream (at 100 TB,
+    target ~1 GB per shard like the crawl's own segments). Task retries
+    are safe: the shard name is a pure function of the partition id and
+    the write is tmpfile + atomic rename, so a speculative or retried
+    task overwrites its own output byte-identically."""
+    import os
+
+    def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        blobs: list[bytes] = []
+        n = 0
+        for pdf in it:
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"],
+                                     pdf["text"]):
+                if text is None:
+                    continue
+                blobs.append(_wet_record(str(url), ts, str(text)))
+                n += 1
+        if n == 0:                       # empty partition -> no shard
+            return
+        out = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        tmp = out + ".inprogress"
+        data = b"".join(blobs)
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, out)
+        yield pd.DataFrame([{"path": out, "n_records": n,
+                             "bytes": len(data)}])
+
+    os.makedirs(out_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    # the extraction output drops warc_ts (it's input metadata); records
+    # then carry the epoch sentinel date
+    ts = (F.col("warc_ts") if "warc_ts" in docs.columns
+          else F.lit(None).cast("timestamp").alias("warc_ts"))
+    return (docs.select("url", ts, "text")
+            .mapInPandas(_write, _WET_MANIFEST))
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET shards → (url, warc_ts, text) DataFrame. Same file-per-task
+    grain and corrupt-tail salvage contract as :func:`read_warc`, reading
+    ``conversion`` records instead of HTTP responses."""
+    files = spark.read.format("binaryFile").load(path)
+    out_schema = "url string, warc_ts timestamp, text string, error string"
+
+    def _one(blob: bytes, source: str) -> pd.DataFrame:
+        raw = io.BytesIO(blob)
+        fp = gzip.GzipFile(fileobj=raw) if blob[:2] == b"\x1f\x8b" \
+            else io.BufferedReader(raw)
+        rows: list[dict] = []
+        try:
+            for headers, body in iter_warc_records(fp):
+                if headers.get("warc-type") != "conversion":
+                    continue
+                rows.append({
+                    "url": headers.get("warc-target-uri", ""),
+                    "warc_ts": _parse_warc_date(headers["warc-date"]),
+                    "text": body.decode("utf-8"),
+                    "error": None,
+                })
+        except (ValueError, KeyError, OSError, EOFError,
+                UnicodeDecodeError) as exc:
+            rows.append({"url": f"wet:tail-error:{source}",
+                         "warc_ts": None, "text": None,
+                         "error": f"wet: {type(exc).__name__}: {exc} "
+                                  f"(salvaged {len(rows)} rows)"})
+        return pd.DataFrame(rows, columns=["url", "warc_ts", "text",
+                                           "error"])
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                yield _one(bytes(blob), str(src))
+
+    return files.select("path", "content").mapInPandas(_parse, out_schema)
+
+
 # --- fixture writer (inverse of the parser) --------------------------------
 
 def write_warc(rows: list[dict], gzip_records: bool = True,

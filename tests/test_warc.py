@@ -153,6 +153,40 @@ def test_stream_extract_warc_incremental(spark, tmp_path, corpus):
         assert r["text"] == want.loc[r["url"], "text"]
 
 
+def test_wet_sink_roundtrip(spark, tmp_path, corpus):
+    """Crawl-native loop: WARC archives in → extraction → WET shards out
+    (the format Common Crawl publishes extracted text in) → read_wet
+    recovers every (url, text) byte-identically. Shard count follows the
+    partitioning, and the manifest accounts for every record."""
+    from findtextcenternet_spark.pipeline import extract_documents
+    from findtextcenternet_spark.sources.warc import read_wet, write_wet
+
+    rows = _rows(corpus)[:20]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(write_warc(rows))
+    docs = extract_documents(read_warc(spark, str(src)).drop("error"))
+
+    out = tmp_path / "wet"
+    manifest = write_wet(docs.repartition(3), str(out)).toPandas()
+    assert manifest["n_records"].sum() == 20
+    assert len(manifest) <= 3
+    assert all(p.endswith(".warc.wet.gz") for p in manifest["path"])
+
+    back = read_wet(spark, str(out)).toPandas()
+    assert back["error"].isna().all() and len(back) == 20
+    want = docs.select("url", "text").toPandas().set_index("url")
+    for _, r in back.iterrows():
+        assert r["text"] == want.loc[r["url"], "text"]
+
+    # corrupt shard tail -> salvage + per-shard error row, task survives
+    shard = sorted(out.glob("*.warc.wet.gz"))[0]
+    shard.write_bytes(shard.read_bytes() + b"\x1f\x8bgarbage")
+    back2 = read_wet(spark, str(out)).toPandas()
+    bad = back2[back2["error"].notna()]
+    assert len(bad) == 1 and bad.iloc[0]["url"].startswith("wet:tail-error:")
+
+
 def test_spark_ingest_to_extraction(spark, tmp_path, corpus):
     """WARC files on disk → read_warc → extract_documents reproduces the
     golden text for every page — the full crawl-native ingest path."""
