@@ -1,0 +1,178 @@
+"""Native ``warc`` data source (Spark 4 Python DataSource API).
+
+``spark.read.format("warc").load(dir)`` and
+``spark.readStream.format("warc").load(dir)`` after
+:func:`register_warc_datasource`. Same record semantics as
+``sources/warc.py`` (it reuses those parsers), different I/O shape:
+
+* ``read_warc`` goes through ``binaryFile``, which materializes each
+  archive as ONE binary cell — peak memory is the whole compressed
+  archive per task, and Arrow caps cells at 2 GB. This source opens the
+  file on the executor and STREAMS records straight off disk through
+  GzipFile, so peak memory is one record regardless of archive size —
+  the shape that survives multi-GB crawl segments.
+* rows leave the reader as Arrow RecordBatches (vectorized transfer),
+  not per-row Python tuples.
+* planning is file-per-partition (driver lists the directory once), the
+  same grain as the batch reader, so 100k archives = 100k tasks that
+  load-balance across any executor count.
+
+The stream reader's offset IS the processed-file log (a sorted name
+list in the checkpoint offset JSON): ``latestOffset`` snapshots the
+landing dir, each micro-batch claims the newly-landed archives, and a
+restarted query resumes from the committed set. Archive grain keeps
+replays whole-file, so downstream idempotent sinks stay effectively-once.
+Paths must be reachable from executors (local/NFS/DFS mount — the same
+contract as every file-based source).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+             "text string, lang string, error string")
+
+_ARROW_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+    ("error", pa.string()),
+])
+
+_BATCH_ROWS = 512
+
+
+@dataclass
+class WarcFilePartition(InputPartition):
+    path: str
+
+
+def _list_archives(path: str) -> list[str]:
+    """Driver-side planning: directory, glob, or single file → sorted
+    archive paths (sorted so partition ids are deterministic)."""
+    if os.path.isdir(path):
+        names = [os.path.join(path, n) for n in os.listdir(path)
+                 if ".warc" in n and not n.endswith(".inprogress")]
+    else:
+        names = _glob.glob(path)
+    return sorted(n for n in names if os.path.isfile(n))
+
+
+def _iter_file_rows(path: str) -> Iterator[tuple]:
+    """Stream one archive's response records as row tuples, never holding
+    more than one record in memory; a corrupt tail ends the walk with the
+    standard per-archive error row."""
+    from .warc import _parse_warc_date, iter_warc_records, parse_http_response
+
+    with open(path, "rb") as raw:
+        magic = raw.read(2)
+        raw.seek(0)
+        fp = gzip.GzipFile(fileobj=raw) if magic == b"\x1f\x8b" \
+            else io.BufferedReader(raw)
+        try:
+            for headers, body in iter_warc_records(fp):
+                if headers.get("warc-type") != "response":
+                    continue
+                if "application/http" not in headers.get("content-type", ""):
+                    continue
+                _http, payload = parse_http_response(body)
+                yield (headers.get("warc-target-uri", ""),
+                       _parse_warc_date(headers["warc-date"]),
+                       payload, None, "", None)
+        except (ValueError, KeyError, OSError, EOFError) as exc:
+            yield (f"warc:tail-error:{path}", None, None, None, "",
+                   f"warc: {type(exc).__name__}: {exc}")
+
+
+def _read_partition(partition: WarcFilePartition) -> Iterator[pa.RecordBatch]:
+    cols: list[list] = [[], [], [], [], [], []]
+    for row in _iter_file_rows(partition.path):
+        for c, v in zip(cols, row):
+            c.append(v)
+        if len(cols[0]) >= _BATCH_ROWS:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, t.type) for c, t in zip(cols, _ARROW_SCHEMA)],
+                schema=_ARROW_SCHEMA)
+            cols = [[], [], [], [], [], []]
+    if cols[0]:
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c, t.type) for c, t in zip(cols, _ARROW_SCHEMA)],
+            schema=_ARROW_SCHEMA)
+
+
+class WarcBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options["path"]
+
+    def partitions(self):
+        return [WarcFilePartition(p) for p in _list_archives(self._path)]
+
+    def read(self, partition):
+        return _read_partition(partition)
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Offset = {"files": [names committed so far]}. Tiny for any landing
+    dir a single query should tail; at true crawl scale the segment list
+    itself is partitioned and the batch source + an orchestrator owns the
+    file log (see streaming/jobs.stream_extract_warc)."""
+
+    def __init__(self, options):
+        self._path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": [os.path.basename(p)
+                          for p in _list_archives(self._path)]}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["files"]) - set(start["files"]))
+        base = self._path if os.path.isdir(self._path) \
+            else os.path.dirname(self._path)
+        return [WarcFilePartition(os.path.join(base, n)) for n in new]
+
+    def read(self, partition):
+        return _read_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class WarcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return PAGES_DDL
+
+    def reader(self, schema):
+        return WarcBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return WarcStreamReader(self.options)
+
+
+def register_warc_datasource(spark) -> None:
+    spark.dataSource.register(WarcDataSource)
