@@ -81,10 +81,35 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 pass grid (RFC 2083 §2.6): (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_deinterlace(raw: np.ndarray, w: int, h: int, ch: int
+                     ) -> np.ndarray:
+    """Adam7: the inflated stream is seven independently-filtered reduced
+    images; unfilter each and scatter it onto its pass grid."""
+    img = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:      # pass empty at this image size
+            continue
+        n = ph * (1 + pw * ch)
+        sub = _png_unfilter(raw[pos:pos + n], ph, pw * ch, ch)
+        img[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
+        pos += n
+    if pos != len(raw):
+        raise ValueError("PNG interlaced data length mismatch")
+    return img
+
 
 def decode_png(blob: bytes) -> np.ndarray:
     """Baseline PNG decode, stdlib zlib + NumPy only: 8-bit depth, all
-    five row filters, gray/RGB/palette/alpha color types, non-interlaced.
+    five row filters, gray/RGB/palette/alpha color types, both
+    non-interlaced and Adam7-interlaced streams.
     Returns an (h, w, channels) uint8 array."""
     import zlib
 
@@ -107,13 +132,14 @@ def decode_png(blob: bytes) -> np.ndarray:
     if hdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, _comp, _filt, interlace = hdr
-    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+    if depth != 8 or interlace not in (0, 1) or ctype not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"baseline PNG decoder: depth={depth} colortype={ctype} "
-            f"interlace={interlace} unsupported (8-bit non-interlaced only)")
+            f"interlace={interlace} unsupported (8-bit only)")
     ch = _PNG_CHANNELS[ctype]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    img = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    img = (_png_deinterlace(raw, w, h, ch) if interlace
+           else _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch))
     if ctype == 3:
         if plte is None:
             raise ValueError("paletted PNG missing PLTE")
@@ -208,7 +234,7 @@ def decode_image_bytes(blob: bytes) -> np.ndarray:
         return decode_gif(blob)
     raise NotImplementedError(
         "no codec for this format: bundled decoders cover PNG (8-bit, "
-        "non-interlaced), BMP (BI_RGB), binary PNM, GIF, and sequential + "
+        "incl. Adam7), BMP (BI_RGB), binary PNM, GIF, and sequential + "
         "progressive Huffman JPEG; install PIL for arithmetic/lossless "
         "JPEG, WEBP, TIFF")
 

@@ -84,20 +84,17 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data)))
 
 
-def _encode_png(img: np.ndarray, filters: list[int]) -> bytes:
-    """Spec-following PNG writer (RFC 2083) with explicit per-row filter
-    types — an independent check of the decoder's unfilter math."""
-    import struct
-    import zlib
-    h, w, ch = img.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+def _png_filter_rows(sub: np.ndarray, filters: list[int]) -> bytearray:
+    """Filter one (sub-)image's rows with explicit per-row filter types
+    (RFC 2083 §6) — shared by the sequential and Adam7 writers."""
+    ph, pw, ch = sub.shape
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int32)
-    for y in range(h):
-        row = img[y].reshape(-1).astype(np.int32)
+    prev = np.zeros(pw * ch, dtype=np.int32)
+    for y in range(ph):
+        row = sub[y].reshape(-1).astype(np.int32)
         ft = filters[y % len(filters)]
         raw.append(ft)
-        for x in range(w * ch):
+        for x in range(pw * ch):
             a = row[x - ch] if x >= ch else 0
             b = prev[x]
             c = prev[x - ch] if x >= ch else 0
@@ -116,7 +113,30 @@ def _encode_png(img: np.ndarray, filters: list[int]) -> bytes:
                     (b if pb <= pc else c)
             raw.append((row[x] - pred) & 0xFF)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return raw
+
+
+def _encode_png(img: np.ndarray, filters: list[int],
+                interlace: bool = False) -> bytes:
+    """Spec-following PNG writer (RFC 2083) with explicit per-row filter
+    types — an independent check of the decoder's unfilter math. With
+    ``interlace`` the seven Adam7 reduced images are each filtered
+    independently (filter state resets per pass, per the spec)."""
+    import struct
+    import zlib
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if interlace:
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        raw = bytearray()
+        for x0, y0, xs, ys in passes:
+            sub = img[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _png_filter_rows(np.ascontiguousarray(sub), filters)
+    else:
+        raw = _png_filter_rows(img, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
     return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
             + _png_chunk(b"IEND", b""))
@@ -152,6 +172,21 @@ def test_png_gray_and_rgba():
     assert np.array_equal(mm.decode_png(_encode_png(gray, [4])), gray)
     rgba = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
     assert np.array_equal(mm.decode_png(_encode_png(rgba, [2, 3])), rgba)
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1), (3, 5, 3), (8, 8, 4),
+                                   (9, 10, 2), (16, 7, 3), (13, 13, 1)])
+def test_png_adam7_roundtrip(shape):
+    """Adam7-interlaced PNGs decode to the original pixels for sizes that
+    hit every pass-grid edge case (empty passes at 1x1, partial passes at
+    odd sizes, all passes populated at >=16)."""
+    rng = np.random.default_rng(shape[0] * 31 + shape[1])
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    got = mm.decode_png(_encode_png(img, [0, 1, 2, 3, 4], interlace=True))
+    assert np.array_equal(got, img)
+    # and the same pixels as the sequential encoding of the same image
+    seq = mm.decode_png(_encode_png(img, [2]))
+    assert np.array_equal(got, seq)
 
 
 def test_bmp_roundtrip_both_orientations():
