@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import datetime as dt
 import gzip
+import hashlib
 import io
 import zlib
 from typing import Iterator
@@ -128,7 +129,9 @@ def _parse_warc_date(s: str) -> dt.datetime:
     return dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
 
 
-def pages_from_warc_bytes(blob: bytes, source: str = "") -> pd.DataFrame:
+def pages_from_warc_bytes(blob: bytes, source: str = "",
+                          content_types: tuple[str, ...] | None = None,
+                          ) -> pd.DataFrame:
     """One WARC archive (plain or gzip) → pages rows. Corruption stops
     the walk and lands as ONE error row carrying the salvage count, so a
     bad archive tail never fails the Spark task (the same row-level
@@ -136,7 +139,13 @@ def pages_from_warc_bytes(blob: bytes, source: str = "") -> pd.DataFrame:
     is ``warc:tail-error:<source>`` — a stable per-archive key, so the
     lineage quarantine records WHICH archive to re-fetch and a re-run
     over a repaired archive still extracts its pages (their own urls are
-    not in the done-set)."""
+    not in the done-set).
+
+    ``content_types``: optional HTTP Content-Type prefixes to keep (a
+    real crawl archive interleaves html with images/scripts/fonts;
+    filtering at the record walk drops the bulk BEFORE it enters the
+    Arrow exchange). None keeps every response record — the extraction
+    kernel's magic-byte dispatch and quarantine handle the rest."""
     raw = io.BytesIO(blob)
     fp = gzip.GzipFile(fileobj=raw) if blob[:2] == b"\x1f\x8b" \
         else io.BufferedReader(raw)
@@ -147,7 +156,11 @@ def pages_from_warc_bytes(blob: bytes, source: str = "") -> pd.DataFrame:
                 continue
             if "application/http" not in headers.get("content-type", ""):
                 continue
-            _http, payload = parse_http_response(body)
+            http, payload = parse_http_response(body)
+            if content_types is not None:
+                ct = http.get("content-type", "").lower()
+                if not any(ct.startswith(p) for p in content_types):
+                    continue
             rows.append({
                 "url": headers.get("warc-target-uri", ""),
                 "warc_ts": _parse_warc_date(headers["warc-date"]),
@@ -165,19 +178,24 @@ def pages_from_warc_bytes(blob: bytes, source: str = "") -> pd.DataFrame:
                                        "lang", "error"])
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str,
+              content_types: tuple[str, ...] | None = None) -> DataFrame:
     """WARC files → pages DataFrame (standard corpus schema + ``error``).
 
     ``binaryFile`` yields one row per file, so each archive is one task —
     the right grain for ~1 GB crawl files (Common Crawl's own Spark
     examples use the same file-per-task layout). The record walk streams
-    the gzip members; peak memory is the compressed file + one record."""
+    the gzip members; peak memory is the compressed file + one record.
+    ``content_types`` (e.g. ``("text/html",)``) drops non-matching HTTP
+    payloads inside the record walk — in a real crawl archive that is
+    most of the bytes, filtered before they ever cross into Arrow."""
     files = spark.read.format("binaryFile").load(path)
 
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for src, blob in zip(pdf["path"], pdf["content"]):
-                yield pages_from_warc_bytes(bytes(blob), source=str(src))
+                yield pages_from_warc_bytes(bytes(blob), source=str(src),
+                                            content_types=content_types)
 
     return files.select("path", "content").mapInPandas(_parse, PAGES_SCHEMA)
 
@@ -188,7 +206,9 @@ _BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
 
 def read_warc_stream(spark: SparkSession, input_dir: str,
                      max_files_per_trigger: int = 4,
-                     glob: str = "*.warc*") -> DataFrame:
+                     glob: str = "*.warc*",
+                     content_types: tuple[str, ...] | None = None,
+                     ) -> DataFrame:
     """Streaming twin of :func:`read_warc`: tail a crawl landing directory
     as new ``.warc``/``.warc.gz`` archives arrive (the shape of a live
     Common Crawl segment drop). ``binaryFile`` is a file-format source, so
@@ -207,7 +227,8 @@ def read_warc_stream(spark: SparkSession, input_dir: str,
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for src, blob in zip(pdf["path"], pdf["content"]):
-                yield pages_from_warc_bytes(bytes(blob), source=str(src))
+                yield pages_from_warc_bytes(bytes(blob), source=str(src),
+                                            content_types=content_types)
 
     return files.select("path", "content").mapInPandas(_parse, PAGES_SCHEMA)
 
@@ -228,10 +249,16 @@ def _wet_record(url: str, ts, text: str) -> bytes:
            b"WARC-Type: conversion",
            b"WARC-Target-URI: " + url.encode(),
            b"WARC-Date: " + when.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
-           b"WARC-Record-ID: <urn:uuid:%d>" % abs(hash(("wet", url))),
+           # stable digest, not hash(): PYTHONHASHSEED varies per worker,
+           # and retried tasks must rewrite their shard byte-identically
+           b"WARC-Record-ID: <urn:uuid:" +
+           hashlib.md5(b"wet:" + url.encode()).hexdigest().encode() + b">",
            b"Content-Type: text/plain",
            b"Content-Length: " + str(len(body)).encode()]
-    return gzip.compress(b"\r\n".join(hdr) + b"\r\n\r\n" + body + b"\r\n\r\n")
+    # mtime=0: the gzip header must not embed wall-clock time, or a
+    # retried task's shard would differ byte-wise from the original
+    return gzip.compress(b"\r\n".join(hdr) + b"\r\n\r\n" + body + b"\r\n\r\n",
+                         mtime=0)
 
 
 def write_wet(docs: DataFrame, out_dir: str) -> DataFrame:
@@ -357,8 +384,11 @@ def write_warc(rows: list[dict], gzip_records: bool = True,
                       b"GET / HTTP/1.1\r\nHost: x\r\n\r\n",
                       "application/http; msgtype=request")
         payload = bytes(row["html"])
+        # a real crawl interleaves html with images/css/js — rows may
+        # carry a "mime" key to exercise the content-type filter
+        mime = row.get("mime", "text/html")
         http_hdr = [b"HTTP/1.1 200 OK",
-                    b"Content-Type: text/html"]
+                    b"Content-Type: " + mime.encode()]
         if rng is not None and rng.random() < gzip_body_frac:
             payload = gzip.compress(payload)
             http_hdr.append(b"Content-Encoding: gzip")

@@ -50,6 +50,26 @@ def test_chunked_and_content_encoding(corpus):
     assert b"Transfer-Encoding: chunked" in gzip.decompress(blob)
 
 
+def test_content_type_filter(corpus):
+    """content_types drops non-matching HTTP payloads inside the record
+    walk — the crawl's image/css/js bulk never reaches the Arrow exchange."""
+    rows = _rows(corpus.head(12))
+    for i, r in enumerate(rows):
+        if i % 3 == 1:
+            r["mime"] = "image/png"
+        elif i % 3 == 2:
+            r["mime"] = "text/css"
+    blob = write_warc(rows)
+    got = pages_from_warc_bytes(blob, content_types=("text/html",))
+    want = [r["url"] for i, r in enumerate(rows) if i % 3 == 0]
+    assert list(got["url"]) == want
+    # charset parameters still match the prefix
+    got2 = pages_from_warc_bytes(blob, content_types=("text/",))
+    assert len(got2) == 8
+    # default keeps everything
+    assert len(pages_from_warc_bytes(blob)) == 12
+
+
 def test_http_parse_units():
     hdrs, payload = parse_http_response(
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
@@ -168,7 +188,7 @@ def test_wet_sink_roundtrip(spark, tmp_path, corpus):
     docs = extract_documents(read_warc(spark, str(src)).drop("error"))
 
     out = tmp_path / "wet"
-    manifest = write_wet(docs.repartition(3), str(out)).toPandas()
+    manifest = write_wet(docs.repartition(3, "url"), str(out)).toPandas()
     assert manifest["n_records"].sum() == 20
     assert len(manifest) <= 3
     assert all(p.endswith(".warc.wet.gz") for p in manifest["path"])
@@ -178,6 +198,14 @@ def test_wet_sink_roundtrip(spark, tmp_path, corpus):
     want = docs.select("url", "text").toPandas().set_index("url")
     for _, r in back.iterrows():
         assert r["text"] == want.loc[r["url"], "text"]
+
+    # retry idempotence: re-running the sink (same docs, same
+    # partitioning) rewrites every shard byte-identically — record ids
+    # are stable digests and gzip headers carry no wall-clock mtime
+    before = {p.name: p.read_bytes() for p in out.glob("*.warc.wet.gz")}
+    write_wet(docs.repartition(3, "url"), str(out)).collect()
+    after = {p.name: p.read_bytes() for p in out.glob("*.warc.wet.gz")}
+    assert before == after
 
     # corrupt shard tail -> salvage + per-shard error row, task survives
     shard = sorted(out.glob("*.warc.wet.gz"))[0]
