@@ -17,8 +17,8 @@
   same grain as the batch reader, so 100k archives = 100k tasks that
   load-balance across any executor count.
 
-The stream reader's offset IS the processed-file log (a sorted name
-list in the checkpoint offset JSON): ``latestOffset`` snapshots the
+The stream reader's offset IS the processed-file log (a sorted
+full-path list in the checkpoint offset JSON): ``latestOffset`` snapshots the
 landing dir, each micro-batch claims the newly-landed archives, and a
 restarted query resumes from the committed set. Archive grain keeps
 replays whole-file, so downstream idempotent sinks stay effectively-once.
@@ -128,7 +128,7 @@ class WarcBatchReader(DataSourceReader):
 
 
 class WarcStreamReader(DataSourceStreamReader):
-    """Offset = {"files": [names committed so far]}. Tiny for any landing
+    """Offset = {"files": [paths committed so far]}. Tiny for any landing
     dir a single query should tail; at true crawl scale the segment list
     itself is partitioned and the batch source + an orchestrator owns the
     file log (see streaming/jobs.stream_extract_warc)."""
@@ -140,14 +140,13 @@ class WarcStreamReader(DataSourceStreamReader):
         return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"files": [os.path.basename(p)
-                          for p in _list_archives(self._path)]}
+        # full paths, not basenames: a glob path may span directories,
+        # and the offset must identify each archive unambiguously
+        return {"files": _list_archives(self._path)}
 
     def partitions(self, start: dict, end: dict):
         new = sorted(set(end["files"]) - set(start["files"]))
-        base = self._path if os.path.isdir(self._path) \
-            else os.path.dirname(self._path)
-        return [WarcFilePartition(os.path.join(base, n)) for n in new]
+        return [WarcFilePartition(p) for p in new]
 
     def read(self, partition):
         return _read_partition(partition)

@@ -22,6 +22,31 @@ def registered(spark):
     return spark
 
 
+def test_file_iterator_matches_inmemory_parser(tmp_path, corpus):
+    """No-Spark unit: the datasource's disk-streaming record walk yields
+    exactly what the in-memory parser yields for the same archive (both
+    good rows and the corrupt-tail error contract)."""
+    from findtextcenternet_spark.sources.warc import pages_from_warc_bytes
+    from findtextcenternet_spark.sources.warc_datasource import (
+        _iter_file_rows,
+    )
+
+    rows = corpus.to_dict("records")[:12]
+    blob_plain = write_warc(rows, gzip_records=False) + b"WARC/1.0\r\nbroken"
+    for data, name in ((write_warc(rows), "ok.warc.gz"),
+                       (blob_plain, "bad.warc")):
+        p = tmp_path / name
+        p.write_bytes(data)
+        got = list(_iter_file_rows(str(p)))
+        want = pages_from_warc_bytes(data, source=str(p))
+        assert len(got) == len(want)
+        for tup, (_, w) in zip(got, want.iterrows()):
+            assert tup[0] == w["url"]
+            assert (tup[2] is None and w["html"] is None) \
+                or bytes(tup[2]) == bytes(w["html"])
+            assert (tup[5] is None) == (w["error"] is None)
+
+
 def test_batch_matches_binaryfile_reader(registered, tmp_path, corpus):
     spark = registered
     rows = corpus.to_dict("records")
