@@ -194,6 +194,13 @@ def write_bench_md(summary, n_docs: int) -> None:
     headline, raster, mixed = (summary["headline"], summary["raster"],
                                summary["mixed"])
     bench_md = os.path.join(REPO, "BENCH.md")
+    # the paired Spark-vs-pool A/B section is measured by ab_mixed.py, not
+    # by this script — keep its recorded story across regens
+    ab_path = os.path.join(REPO, "BENCH_AB.md")
+    ab_section = ""
+    if os.path.exists(ab_path):
+        with open(ab_path) as f:
+            ab_section = f.read().rstrip() + "\n\n"
     control = summary.get("control", {})
     rows = []
     for m in (headline, raster, mixed):
@@ -272,10 +279,11 @@ Rows, top = headline:
   with the raster stage) — so the default keeps fine grain and the
   `SPARK_GRAFT_CHEAP_TASKS_PER_CORE` knob serves deployments where
   per-task cost is the measured bottleneck. Grade this row on ABSOLUTE
-  throughput vs the same-shape mp control at each level (the efficiency
-  ratio is distorted when the 8-core side over-performs the control).
+  throughput vs the same-shape mp control at each level via the PAIRED
+  protocol below (unpaired absolute numbers from different steal windows
+  on this guest are weather, not measurements).
 
-| corpus | docs | N→4N | estimator | N docs/s [reps] | 4N docs/s [reps] | efficiency | eff median/best | mp control eff | parity |
+{ab_section}| corpus | docs | N→4N | estimator | N docs/s [reps] | 4N docs/s [reps] | efficiency | eff median/best | mp control eff | parity |
 |---|---|---|---|---|---|---|---|---|---|
 {table}
 
