@@ -1,0 +1,177 @@
+"""CDX index: offset math units + Spark build/publish/fetch parity."""
+
+import gzip
+import hashlib
+import base64
+
+import pandas as pd
+import pytest
+
+from findtextcenternet_spark.corpus import generate_pages
+from findtextcenternet_spark.sources.cdx import (
+    build_cdx,
+    fetch_cdx_records,
+    iter_cdx_entries,
+    read_cdxj,
+    surt_key,
+    write_cdxj,
+)
+from findtextcenternet_spark.sources.warc import read_warc, write_warc
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages(40)
+
+
+def _rows(pdf: pd.DataFrame) -> list[dict]:
+    return pdf.to_dict("records")
+
+
+def test_surt_key():
+    assert surt_key("https://www.Example.com/A?b=2&a=1") == \
+        "com,example)/a?a=1&b=2"
+    assert surt_key("http://sub.site.org:8080/p/q") == \
+        "org,site,sub:8080/p/q".replace("/p/q", ")/p/q")
+    assert surt_key("http://user@host.net:80/") == "net,host)/"
+    assert surt_key("example.com") == "com,example)/"
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_entries_address_their_records(corpus, gz):
+    """Every entry's (offset, length) slice decodes to exactly its
+    record, and the digest is the payload's sha1-base32 — the contract a
+    range fetch depends on."""
+    from findtextcenternet_spark.sources.warc import (
+        iter_warc_records, parse_http_response)
+    import io
+
+    rows = _rows(corpus.head(10))
+    blob = write_warc(rows, gzip_records=gz)
+    entries = iter_cdx_entries(blob, "fixture.warc")
+    assert len(entries) == 10 and all(e["error"] is None for e in entries)
+    for e, want in zip(entries, rows):
+        raw = blob[e["offset"]:e["offset"] + e["length"]]
+        if gz:
+            raw = gzip.decompress(raw)
+        recs = [(h, b) for h, b in iter_warc_records(io.BytesIO(raw))
+                if h.get("warc-type") == "response"]
+        assert len(recs) == 1
+        hdr, body = recs[0]
+        assert hdr["warc-target-uri"] == want["url"] == e["url"]
+        _http, payload = parse_http_response(body)
+        assert payload == bytes(want["html"])
+        assert e["digest"] == \
+            base64.b32encode(hashlib.sha1(payload).digest()).decode()
+        assert e["urlkey"] == surt_key(want["url"])
+        assert e["mime"] == "text/html" and e["status"] == 200
+
+
+def test_whole_file_gzip_shares_one_slice(corpus):
+    """An archive gzipped as ONE member (not member-per-record) indexes
+    every record at the same slice; the fetch path filters inside it."""
+    rows = _rows(corpus.head(6))
+    blob = gzip.compress(write_warc(rows, gzip_records=False))
+    entries = iter_cdx_entries(blob, "whole.warc.gz")
+    assert len(entries) == 6
+    assert {(e["offset"], e["length"]) for e in entries} == {(0, len(blob))}
+
+
+def test_corrupt_tail_salvage(corpus):
+    rows = _rows(corpus.head(5))
+    blob = write_warc(rows, gzip_records=False) + b"WARC/1.0\r\nbroken"
+    entries = iter_cdx_entries(blob, "bad.warc")
+    good = [e for e in entries if e["error"] is None]
+    bad = [e for e in entries if e["error"] is not None]
+    assert len(good) == 5 and len(bad) == 1
+    assert "salvaged 5" in bad[0]["error"]
+    assert bad[0]["filename"] == "bad.warc"
+
+
+def test_build_fetch_parity(spark, tmp_path, corpus):
+    """Spark build over a directory == in-memory entries; a filtered
+    fetch returns byte-identical html to the full-walk reader."""
+    rows = _rows(corpus)
+    (tmp_path / "a.warc.gz").write_bytes(write_warc(rows[:25]))
+    (tmp_path / "b.warc").write_bytes(
+        write_warc(rows[25:], gzip_records=False))
+
+    cdx = build_cdx(spark, str(tmp_path) + "/*.warc*")
+    got = cdx.toPandas().sort_values("url").reset_index(drop=True)
+    assert got["error"].isna().all() and len(got) == 40
+    assert got["filename"].str.startswith("file:").all()
+
+    # prune to ~half the index by urlkey prefix, fetch only those slices
+    keys = sorted(got["urlkey"])
+    cut = keys[len(keys) // 2]
+    picked = cdx.filter(cdx.urlkey < cut)
+    pages = fetch_cdx_records(spark, picked).toPandas()
+    assert pages["error"].isna().all()
+    want = {r["url"]: bytes(r["html"]) for r in rows
+            if surt_key(r["url"]) < cut}
+    assert {u: bytes(h) for u, h in zip(pages["url"], pages["html"])} \
+        == want
+
+    # and the fetched subset equals the full walk restricted to it
+    full = read_warc(spark, str(tmp_path) + "/*.warc*").toPandas()
+    full_map = {u: bytes(h) for u, h in zip(full["url"], full["html"])
+                if u in want}
+    assert full_map == want
+
+
+def test_cdxj_roundtrip_and_shard_ranges(spark, tmp_path, corpus):
+    rows = _rows(corpus)
+    src = tmp_path / "w"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(write_warc(rows))
+    cdx = build_cdx(spark, str(src))
+
+    out = tmp_path / "idx"
+    manifest = write_cdxj(cdx, str(out), num_shards=3).toPandas() \
+        .sort_values("first_key").reset_index(drop=True)
+    assert manifest["n_records"].sum() == 40
+    assert all(p.endswith(".cdx.gz") for p in manifest["path"])
+    # shards are globally range-disjoint and internally ordered
+    for i in range(len(manifest) - 1):
+        assert manifest.loc[i, "last_key"] <= manifest.loc[i + 1,
+                                                           "first_key"]
+
+    back = read_cdxj(spark, str(out)).toPandas()
+    assert back["error"].isna().all()
+    a = cdx.toPandas().drop(columns=["error"]) \
+        .sort_values(["urlkey", "warc_ts"]).reset_index(drop=True)
+    b = back.drop(columns=["error"]) \
+        .sort_values(["urlkey", "warc_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+    # retry idempotence: regenerating rewrites shards byte-identically
+    before = {p.name: p.read_bytes() for p in out.glob("*.cdx.gz")}
+    write_cdxj(cdx, str(out), num_shards=3).collect()
+    after = {p.name: p.read_bytes() for p in out.glob("*.cdx.gz")}
+    assert before == after
+
+
+def test_index_pruned_extraction(spark, tmp_path, corpus):
+    """The 100 TB flow in miniature: index once, prune by mime+key,
+    range-fetch, extract — output matches extracting the full archive
+    then filtering."""
+    from findtextcenternet_spark.pipeline import extract_documents
+
+    rows = _rows(corpus.head(20))
+    for i, r in enumerate(rows):          # a third of the crawl is junk
+        if i % 3 == 2:
+            r["mime"] = "image/png"
+    (tmp_path / "seg.warc.gz").write_bytes(write_warc(rows))
+
+    cdx = build_cdx(spark, str(tmp_path / "seg.warc.gz"))
+    picked = cdx.filter("mime = 'text/html'")
+    pages = fetch_cdx_records(spark, picked)
+    docs = extract_documents(pages.drop("error")).toPandas()
+
+    all_pages = read_warc(spark, str(tmp_path / "seg.warc.gz"),
+                          content_types=("text/html",))
+    want = extract_documents(all_pages.drop("error")).toPandas()
+    a = docs.sort_values("url").reset_index(drop=True)
+    b = want.sort_values("url").reset_index(drop=True)
+    assert list(a["url"]) == list(b["url"])
+    assert list(a["text"]) == list(b["text"])
