@@ -259,9 +259,11 @@ def write_cdxj(cdx: DataFrame, out_dir: str, num_shards: int = 1
             .mapInPandas(_write, _CDXJ_MANIFEST))
 
 
-def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+def read_cdxj(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """CDXJ shards → index DataFrame (CDX_SCHEMA; ``error`` marks
-    unparseable shard tails, same salvage contract as every source)."""
+    unparseable shard tails, same salvage contract as every source).
+    ``path`` may be a glob or an explicit shard list (the pruned-lookup
+    path hands one in)."""
     files = spark.read.format("binaryFile").load(path)
 
     def _one(blob: bytes, source: str) -> pd.DataFrame:
@@ -298,6 +300,34 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
                 yield _one(bytes(blob), str(src))
 
     return files.select("path", "content").mapInPandas(_parse, CDX_SCHEMA)
+
+
+def prune_shards(manifest: pd.DataFrame, prefix: str) -> list[str]:
+    """Shard paths whose ``[first_key, last_key]`` range can contain a
+    key with ``prefix`` — pure interval math on the (tiny) manifest, so
+    it is unit-checkable and costs nothing at any index size. A key
+    matches iff ``prefix <= key < prefix + U+10FFFF``; a shard overlaps
+    that interval iff it is neither entirely below nor entirely above."""
+    hi = prefix + chr(0x10FFFF)
+    keep = manifest[(manifest["last_key"] >= prefix)
+                    & (manifest["first_key"] < hi)]
+    return sorted(keep["path"].tolist())
+
+
+def lookup_cdxj(spark: SparkSession, manifest: pd.DataFrame,
+                prefix: str) -> DataFrame:
+    """Prefix lookup against a published CDXJ index: prune shards with
+    the manifest (Common Crawl's ``cluster.idx`` pattern — at a real
+    crawl's ~300 shards a single-host lookup opens ONE), read only the
+    survivors, filter to the prefix. Returns an empty index frame when
+    no shard can match, without touching storage."""
+    paths = prune_shards(manifest, prefix)
+    if not paths:
+        return spark.createDataFrame([], CDX_SCHEMA)
+    from pyspark.sql import functions as F
+
+    return read_cdxj(spark, paths).filter(
+        F.col("urlkey").startswith(prefix) | F.col("error").isNotNull())
 
 
 # --- range fetch (the index's payoff) ---------------------------------------

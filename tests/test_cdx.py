@@ -151,6 +151,53 @@ def test_cdxj_roundtrip_and_shard_ranges(spark, tmp_path, corpus):
     assert before == after
 
 
+def test_prune_shards_unit():
+    """Pure interval math on a synthetic manifest — no Spark, no files."""
+    m = pd.DataFrame([
+        {"path": "s0", "first_key": "com,a)/", "last_key": "com,m)/x"},
+        {"path": "s1", "first_key": "com,m)/y", "last_key": "org,c)/"},
+        {"path": "s2", "first_key": "org,d)/", "last_key": "org,z)/"},
+    ])
+    from findtextcenternet_spark.sources.cdx import prune_shards
+    assert prune_shards(m, "com,b)") == ["s0"]
+    assert prune_shards(m, "com,m)") == ["s0", "s1"]   # straddles
+    assert prune_shards(m, "org,zz)") == []            # above all
+    assert prune_shards(m, "aaa)") == []               # below all
+    assert prune_shards(m, "") == ["s0", "s1", "s2"]   # match-all
+
+
+def test_manifest_pruned_lookup(spark, tmp_path, corpus):
+    """cluster.idx pattern: a host-prefix lookup opens only the shards
+    whose key range can match, and returns the same rows as filtering
+    the full index."""
+    from findtextcenternet_spark.sources.cdx import (
+        lookup_cdxj, prune_shards)
+
+    rows = _rows(corpus)
+    src = tmp_path / "w"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(write_warc(rows))
+    cdx = build_cdx(spark, str(src))
+    out = tmp_path / "idx"
+    manifest = write_cdxj(cdx, str(out), num_shards=4).toPandas()
+    assert len(manifest) >= 3
+
+    full = cdx.toPandas()
+    prefix = sorted(full["urlkey"])[0].split(")")[0] + ")"  # one host
+    pruned = prune_shards(manifest, prefix)
+    # a host's keys are contiguous in the sort, so they straddle at
+    # most one shard boundary
+    assert 1 <= len(pruned) <= 2 < len(manifest)
+    got = lookup_cdxj(spark, manifest, prefix).toPandas()
+    assert got["error"].isna().all()
+    want = full[full["urlkey"].str.startswith(prefix)]
+    assert sorted(got["url"]) == sorted(want["url"]) and len(want) > 0
+    # an impossible prefix prunes to zero shards and returns no rows
+    # without touching storage
+    assert prune_shards(manifest, chr(0x10FFFF)) == []
+    assert lookup_cdxj(spark, manifest, chr(0x10FFFF)).count() == 0
+
+
 def test_index_pruned_extraction(spark, tmp_path, corpus):
     """The 100 TB flow in miniature: index once, prune by mime+key,
     range-fetch, extract — output matches extracting the full archive
