@@ -3,8 +3,9 @@
 
     spark-submit --py-files pkg.zip -m findtextcenternet_spark ...   # or
     python -m findtextcenternet_spark INPUT OUT_DIR
-        [--format parquet|warc] [--master local[32]] [--partitions N]
+        [--format parquet|warc|cdx] [--master local[32]] [--partitions N]
         [--run-id ID] [--streaming]
+        [--index] [--cdx-mime TYPE] [--cdx-prefix SURT]
 
 Batch mode runs one resumable lineage-tracked extraction pass (re-invoking
 with the same OUT_DIR extracts only not-yet-done urls). ``--format warc``
@@ -15,6 +16,13 @@ INPUT as a file-source stream with checkpointed, idempotent
 (effectively-once) output instead; combined with ``--format warc`` it
 tails a crawl landing directory archive-by-archive (``binaryFile`` is a
 file-format source, so the checkpoint file log commits whole archives).
+
+The index pair covers the crawl's two-phase flow at corpus scale: first
+``--format warc --index`` walks archives ONCE and publishes sorted CDXJ
+shards to OUT_DIR (one task per archive, ``--partitions`` = shard
+count); later ``--format cdx`` runs extraction FROM an index, pruning by
+``--cdx-mime`` / ``--cdx-prefix`` before any archive byte moves and
+range-fetching only the selected records (sources/cdx.py).
 """
 
 from __future__ import annotations
@@ -29,13 +37,23 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("input", help="pages parquet or WARC dir (file, dir, "
                                   "or glob)")
     ap.add_argument("out_dir", help="output root (docs/ + _lineage/)")
-    ap.add_argument("--format", choices=("parquet", "warc"),
+    ap.add_argument("--format", choices=("parquet", "warc", "cdx"),
                     default="parquet", dest="input_format")
     ap.add_argument("--master", default=None)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--index", action="store_true",
+                    help="with --format warc: build the CDX index of "
+                         "INPUT into OUT_DIR instead of extracting")
+    ap.add_argument("--cdx-mime", default=None,
+                    help="with --format cdx: keep only this mime")
+    ap.add_argument("--cdx-prefix", default=None,
+                    help="with --format cdx: keep only urlkeys with "
+                         "this SURT prefix")
     args = ap.parse_args(argv)
+    if args.index and args.input_format != "warc":
+        ap.error("--index requires --format warc")
 
     from pyspark.sql import SparkSession
 
@@ -67,6 +85,18 @@ def main(argv: list[str] | None = None) -> int:
             spark.stop()
         return 0
 
+    if args.index:
+        from .sources.cdx import build_cdx, write_cdxj
+
+        manifest = write_cdxj(build_cdx(spark, args.input), args.out_dir,
+                              num_shards=args.partitions or 1).toPandas()
+        print(json.dumps({"mode": "index", "out": args.out_dir,
+                          "shards": len(manifest),
+                          "records": int(manifest["n_records"].sum())}))
+        if owns_session:
+            spark.stop()
+        return 0
+
     from .lineage import run_extract
 
     if args.input_format == "warc":
@@ -76,6 +106,17 @@ def main(argv: list[str] | None = None) -> int:
         # html is null, so the pipeline quarantines them under the
         # per-archive warc:tail-error:<path> url
         pages = read_warc(spark, args.input).drop("error")
+    elif args.input_format == "cdx":
+        from pyspark.sql import functions as F
+
+        from .sources.cdx import fetch_cdx_records, read_cdxj
+
+        idx = read_cdxj(spark, args.input)
+        if args.cdx_mime:
+            idx = idx.filter(F.col("mime") == args.cdx_mime)
+        if args.cdx_prefix:
+            idx = idx.filter(F.col("urlkey").startswith(args.cdx_prefix))
+        pages = fetch_cdx_records(spark, idx).drop("error")
     else:
         pages = spark.read.parquet(args.input)
     summary = run_extract(pages, args.out_dir, run_id=args.run_id,

@@ -151,6 +151,46 @@ def test_cdxj_roundtrip_and_shard_ranges(spark, tmp_path, corpus):
     assert before == after
 
 
+def test_cli_index_then_extract(spark, tmp_path, corpus):
+    """The corpus-scale two-phase CLI flow: --format warc --index walks
+    the archives once and publishes the CDXJ index; --format cdx runs a
+    mime-pruned, range-fetched lineage extraction FROM that index. The
+    docs match extracting the html subset of the archives directly."""
+    import json as _json
+
+    from findtextcenternet_spark.__main__ import main
+    from findtextcenternet_spark.pipeline import extract_documents
+
+    rows = _rows(corpus)[:24]
+    for i, r in enumerate(rows):
+        if i % 4 == 3:
+            r["mime"] = "application/javascript"
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(write_warc(rows[:12]))
+    (d / "b.warc.gz").write_bytes(write_warc(rows[12:]))
+
+    idx_dir = tmp_path / "cdx"
+    rc = main([str(d), str(idx_dir), "--format", "warc", "--index",
+               "--partitions", "2"])
+    assert rc == 0
+    assert len(list(idx_dir.glob("*.cdx.gz"))) == 2
+
+    out = tmp_path / "out"
+    rc = main([str(idx_dir), str(out), "--format", "cdx",
+               "--cdx-mime", "text/html", "--run-id", "r1"])
+    assert rc == 0
+    docs = spark.read.parquet(str(out / "docs")) \
+        .filter("error is null").toPandas()
+    want = extract_documents(
+        read_warc(spark, str(d), content_types=("text/html",))
+        .drop("error")).toPandas()
+    a = docs.sort_values("url").reset_index(drop=True)
+    b = want.sort_values("url").reset_index(drop=True)
+    assert list(a["url"]) == list(b["url"]) and len(a) == 18
+    assert list(a["text"]) == list(b["text"])
+
+
 def test_prune_shards_unit():
     """Pure interval math on a synthetic manifest — no Spark, no files."""
     m = pd.DataFrame([
