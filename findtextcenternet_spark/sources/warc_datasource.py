@@ -61,6 +61,7 @@ _BATCH_ROWS = 512
 @dataclass
 class WarcFilePartition(InputPartition):
     path: str
+    content_types: tuple[str, ...] | None = None
 
 
 def _list_archives(path: str) -> list[str]:
@@ -74,10 +75,14 @@ def _list_archives(path: str) -> list[str]:
     return sorted(n for n in names if os.path.isfile(n))
 
 
-def _iter_file_rows(path: str) -> Iterator[tuple]:
+def _iter_file_rows(path: str,
+                    content_types: tuple[str, ...] | None = None
+                    ) -> Iterator[tuple]:
     """Stream one archive's response records as row tuples, never holding
     more than one record in memory; a corrupt tail ends the walk with the
-    standard per-archive error row."""
+    standard per-archive error row. ``content_types`` mirrors the batch
+    reader: non-matching HTTP payloads are dropped at the walk, before
+    they reach an Arrow batch."""
     from .warc import _parse_warc_date, iter_warc_records, parse_http_response
 
     with open(path, "rb") as raw:
@@ -91,7 +96,11 @@ def _iter_file_rows(path: str) -> Iterator[tuple]:
                     continue
                 if "application/http" not in headers.get("content-type", ""):
                     continue
-                _http, payload = parse_http_response(body)
+                http, payload = parse_http_response(body)
+                if content_types is not None:
+                    ct = http.get("content-type", "").lower()
+                    if not any(ct.startswith(p) for p in content_types):
+                        continue
                 yield (headers.get("warc-target-uri", ""),
                        _parse_warc_date(headers["warc-date"]),
                        payload, None, "", None)
@@ -102,7 +111,7 @@ def _iter_file_rows(path: str) -> Iterator[tuple]:
 
 def _read_partition(partition: WarcFilePartition) -> Iterator[pa.RecordBatch]:
     cols: list[list] = [[], [], [], [], [], []]
-    for row in _iter_file_rows(partition.path):
+    for row in _iter_file_rows(partition.path, partition.content_types):
         for c, v in zip(cols, row):
             c.append(v)
         if len(cols[0]) >= _BATCH_ROWS:
@@ -116,12 +125,23 @@ def _read_partition(partition: WarcFilePartition) -> Iterator[pa.RecordBatch]:
             schema=_ARROW_SCHEMA)
 
 
+def _parse_content_types(options) -> tuple[str, ...] | None:
+    """``.option("contentTypes", "text/html,application/pdf")`` — comma
+    list of HTTP Content-Type prefixes to keep; absent keeps everything."""
+    raw = options.get("contenttypes") or options.get("contentTypes")
+    if not raw:
+        return None
+    return tuple(p.strip().lower() for p in raw.split(",") if p.strip())
+
+
 class WarcBatchReader(DataSourceReader):
     def __init__(self, options):
         self._path = options["path"]
+        self._content_types = _parse_content_types(options)
 
     def partitions(self):
-        return [WarcFilePartition(p) for p in _list_archives(self._path)]
+        return [WarcFilePartition(p, self._content_types)
+                for p in _list_archives(self._path)]
 
     def read(self, partition):
         return _read_partition(partition)
@@ -135,6 +155,7 @@ class WarcStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         self._path = options["path"]
+        self._content_types = _parse_content_types(options)
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -146,7 +167,7 @@ class WarcStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         new = sorted(set(end["files"]) - set(start["files"]))
-        return [WarcFilePartition(p) for p in new]
+        return [WarcFilePartition(p, self._content_types) for p in new]
 
     def read(self, partition):
         return _read_partition(partition)

@@ -47,6 +47,25 @@ def test_file_iterator_matches_inmemory_parser(tmp_path, corpus):
             assert (tup[5] is None) == (w["error"] is None)
 
 
+def test_content_types_option(registered, tmp_path, corpus):
+    """.option("contentTypes", ...) drops non-matching payloads inside
+    the record walk, matching the batch reader's content_types arg."""
+    rows = corpus.to_dict("records")[:12]
+    for i, r in enumerate(rows):
+        if i % 2:
+            r["mime"] = "image/jpeg"
+    (tmp_path / "m.warc.gz").write_bytes(write_warc(rows))
+
+    got = (registered.read.format("warc")
+           .option("contentTypes", "text/html")
+           .load(str(tmp_path / "m.warc.gz")).toPandas())
+    assert sorted(got["url"]) == sorted(
+        r["url"] for i, r in enumerate(rows) if not i % 2)
+    # unfiltered read still sees every response
+    assert registered.read.format("warc") \
+        .load(str(tmp_path / "m.warc.gz")).count() == 12
+
+
 def test_batch_matches_binaryfile_reader(registered, tmp_path, corpus):
     spark = registered
     rows = corpus.to_dict("records")
