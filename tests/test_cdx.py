@@ -151,6 +151,56 @@ def test_cdxj_roundtrip_and_shard_ranges(spark, tmp_path, corpus):
     assert before == after
 
 
+def test_fuzz_index_addresses_every_layout():
+    """Property fuzz (no Spark): random corpora, random HTTP codings and
+    mimes, all three storage layouts — every index entry's slice must
+    decode to exactly its record with the right digest, and entry count
+    must equal the response count."""
+    import io
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from findtextcenternet_spark.sources.warc import (
+        iter_warc_records, parse_http_response)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 8),
+           st.sampled_from(["member", "plain", "whole"]),
+           st.floats(0, 1), st.floats(0, 1))
+    def run(seed, n, layout, chunked, gzipped):
+        rng = np.random.default_rng(seed)
+        rows = _rows(generate_pages(n))
+        mimes = ["text/html", "image/png", "application/pdf"]
+        for r in rows:
+            r["mime"] = mimes[int(rng.integers(0, 3))]
+        blob = write_warc(rows, gzip_records=(layout == "member"),
+                          chunked_frac=chunked, gzip_body_frac=gzipped,
+                          rng=rng)
+        if layout == "whole":
+            blob = gzip.compress(blob)
+        entries = iter_cdx_entries(blob, "fuzz.warc")
+        assert all(e["error"] is None for e in entries)
+        assert len(entries) == n
+        for e, want in zip(entries, rows):
+            raw = blob[e["offset"]:e["offset"] + e["length"]]
+            if blob[:2] == b"\x1f\x8b":
+                raw = gzip.decompress(raw)
+            hits = [
+                (h, b) for h, b in iter_warc_records(io.BytesIO(raw))
+                if h.get("warc-type") == "response"
+                and h.get("warc-target-uri") == want["url"]]
+            assert len(hits) == 1
+            _http, payload = parse_http_response(hits[0][1])
+            assert payload == bytes(want["html"])
+            assert e["digest"] == base64.b32encode(
+                hashlib.sha1(payload).digest()).decode()
+            assert e["mime"] == want["mime"]
+
+    run()
+
+
 def test_cli_index_then_extract(spark, tmp_path, corpus):
     """The corpus-scale two-phase CLI flow: --format warc --index walks
     the archives once and publishes the CDXJ index; --format cdx runs a
