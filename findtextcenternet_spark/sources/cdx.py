@@ -333,17 +333,23 @@ def lookup_cdxj(spark: SparkSession, manifest: pd.DataFrame,
 # --- range fetch (the index's payoff) ---------------------------------------
 
 def fetch_cdx_records(spark: SparkSession, cdx: DataFrame,
-                      num_partitions: int | None = None) -> DataFrame:
+                      num_partitions: int | None = None,
+                      band_bytes: int = 1 << 30) -> DataFrame:
     """Index rows → pages rows, reading ONLY the addressed slices.
 
-    Shape: shuffle the (tiny) index rows to their archive
-    (``repartition(filename)``), sort by offset so reads within a file
-    are sequential-forward, then seek+read each distinct slice once and
-    parse just that member. Fetching 0.1% of a crawl costs 0.1% of the
-    byte traffic plus one tiny shuffle of index rows — against local
-    files the seek is ``f.seek``; on an object store the identical
-    offsets become ranged GETs. A slice shared by several requested
-    entries (whole-file-gzip archives) is read once and filtered to the
+    Shape: shuffle the (tiny) index rows on ``(filename, offset //
+    band_bytes)`` — co-located per archive so a file is opened once per
+    task, but banded by offset so ONE hot multi-GB archive spreads over
+    several tasks instead of becoming a straggler (reads inside a band
+    stay sequential-forward; a slice is assigned by its START offset, so
+    it belongs to exactly one band and is read exactly once even if it
+    extends past the band edge).
+    Sort by offset, then seek+read each distinct slice once and parse
+    just that member. Fetching 0.1% of a crawl costs 0.1% of the byte
+    traffic plus one tiny shuffle of index rows — against local files
+    the seek is ``f.seek``; on an object store the identical offsets
+    become ranged GETs. A slice shared by several requested entries
+    (whole-file-gzip archives) is read once and filtered to the
     requested urls inside."""
     from pyspark.sql import functions as F
 
@@ -393,6 +399,7 @@ def fetch_cdx_records(spark: SparkSession, cdx: DataFrame,
 
     keep = cdx.filter(cdx.error.isNull()) \
               .select("url", "filename", "offset", "length")
-    return (keep.repartition(n, F.col("filename"))
+    band = F.floor(F.col("offset") / F.lit(band_bytes))
+    return (keep.repartition(n, F.col("filename"), band)
             .sortWithinPartitions("filename", "offset")
             .mapInPandas(_fetch, PAGES_SCHEMA))

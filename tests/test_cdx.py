@@ -119,6 +119,23 @@ def test_build_fetch_parity(spark, tmp_path, corpus):
     assert full_map == want
 
 
+def test_fetch_offset_banding(spark, tmp_path, corpus):
+    """A tiny band size forces one archive's slices across many bands
+    (the hot-archive anti-straggler spread); the fetch stays complete
+    and byte-identical — banding changes task assignment only."""
+    rows = _rows(corpus)
+    (tmp_path / "hot.warc.gz").write_bytes(write_warc(rows))
+    cdx = build_cdx(spark, str(tmp_path / "hot.warc.gz"))
+    # band ~= a few records wide
+    pages = fetch_cdx_records(spark, cdx, band_bytes=2048).toPandas()
+    assert pages["error"].isna().all()
+    got = {u: bytes(h) for u, h in zip(pages["url"], pages["html"])}
+    assert got == {r["url"]: bytes(r["html"]) for r in rows}
+    # sanity: the fixture really spans multiple bands at this size
+    offs = cdx.toPandas()["offset"]
+    assert (offs // 2048).nunique() > 1
+
+
 def test_cdxj_roundtrip_and_shard_ranges(spark, tmp_path, corpus):
     rows = _rows(corpus)
     src = tmp_path / "w"
