@@ -136,6 +136,28 @@ def test_fetch_offset_banding(spark, tmp_path, corpus):
     assert (offs // 2048).nunique() > 1
 
 
+def test_fetch_plan_one_exchange_pruned(spark, tmp_path, corpus):
+    """Plan gate: the fetch is ONE hash exchange on (filename, band) of
+    a 4-column projection of the index — never the full 10-column index
+    row, and never a second shuffle."""
+    (tmp_path / "p.warc.gz").write_bytes(write_warc(_rows(corpus)[:5]))
+    cdx = build_cdx(spark, str(tmp_path / "p.warc.gz"))
+    df = fetch_cdx_records(spark, cdx)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning(filename") == 1, phys
+    assert phys.count("Exchange") == 1, phys
+    # the shuffle payload (the Project feeding the exchange / the fetch
+    # kernel's input) carries only the 4 fetch columns — the index
+    # kernel itself must emit all 10, so scope the check to those lines
+    payload_lines = [ln for ln in phys.splitlines()
+                     if "MapInPandas _fetch" in ln or
+                     ("Project [" in ln and "url#" in ln)]
+    assert payload_lines, phys
+    for ln in payload_lines:
+        for col in ("urlkey", "digest", "mime", "status"):
+            assert col not in ln, f"unpruned index column {col} in:\n{ln}"
+
+
 def test_cdxj_roundtrip_and_shard_ranges(spark, tmp_path, corpus):
     rows = _rows(corpus)
     src = tmp_path / "w"
