@@ -45,6 +45,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from .fsutil import open_binary
 from .warc import (
     PAGES_SCHEMA,
     _parse_warc_date,
@@ -364,9 +365,10 @@ def fetch_cdx_records(spark: SparkSession, cdx: DataFrame,
                     want.setdefault(
                         (int(r["offset"]), int(r["length"])),
                         set()).add(r["url"])
-                local = fname[5:] if fname.startswith("file:") else fname
                 try:
-                    with open(local, "rb") as f:
+                    # local paths via open(); s3/hdfs/gs URIs via
+                    # pyarrow.fs — seek+read there IS a ranged GET
+                    with open_binary(fname) as f:
                         for (off, ln) in sorted(want):
                             f.seek(off)
                             raw = f.read(ln)

@@ -1,0 +1,73 @@
+"""Executor-side filesystem access for the crawl readers.
+
+Spark's JVM Hadoop filesystems are not reachable from Python worker
+processes (no py4j gateway on executors), so the record-streaming
+readers (``warc_datasource``) and the CDX range fetch open files
+themselves. This shim routes by URI scheme:
+
+* bare paths and ``binaryFile``'s ``file:/x`` form → plain ``open`` /
+  ``os`` (local, NFS, or any DFS mount — the common cluster layout);
+* any ``scheme://`` URI (``s3://``, ``hdfs://``, ``gs://``, and
+  ``file://`` itself) → ``pyarrow.fs.FileSystem.from_uri`` — Arrow's
+  C++ filesystems, whose input files expose the same ``seek``/``read``
+  surface, turning the CDX fetch's offset reads into ranged GETs.
+
+The pyarrow branch is exercised in tests through ``file://`` URIs (the
+LocalFileSystem is the identical code path), so the dispatch is covered
+even though this sandbox has no object store.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+
+def _is_local(path: str) -> bool:
+    return "://" not in path
+
+
+def _strip_file_scheme(path: str) -> str:
+    """binaryFile's ``file:/x`` form → ``/x`` (full ``file://`` URIs
+    take the pyarrow branch instead)."""
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def open_binary(path: str):
+    """Seekable binary reader for a local path, ``file:/x``, or any
+    pyarrow-supported filesystem URI."""
+    if _is_local(path):
+        return open(_strip_file_scheme(path), "rb")
+    import pyarrow.fs as pafs
+
+    fs, p = pafs.FileSystem.from_uri(path)
+    return fs.open_input_file(p)
+
+
+def list_files(path: str, match: str = ".warc") -> list[str]:
+    """Directory, glob, single file, or filesystem URI → sorted file
+    paths containing ``match`` in their name (``.inprogress`` excluded).
+    Globs are local-only (object stores have no glob API — point at the
+    prefix/directory instead); URI listings return URIs with the same
+    scheme so downstream opens route back through the same filesystem."""
+    if _is_local(path):
+        local = _strip_file_scheme(path)
+        if os.path.isdir(local):
+            names = [os.path.join(local, n) for n in os.listdir(local)
+                     if match in n and not n.endswith(".inprogress")]
+        else:
+            names = [n for n in _glob.glob(local)
+                     if not n.endswith(".inprogress")]
+        return sorted(n for n in names if os.path.isfile(n))
+    import pyarrow.fs as pafs
+
+    fs, p = pafs.FileSystem.from_uri(path)
+    scheme = path.split("://", 1)[0]
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.File:
+        return [path]
+    sel = pafs.FileSelector(p, recursive=False)
+    return sorted(
+        f"{scheme}://{fi.path}" for fi in fs.get_file_info(sel)
+        if fi.type == pafs.FileType.File and match in fi.base_name
+        and not fi.base_name.endswith(".inprogress"))

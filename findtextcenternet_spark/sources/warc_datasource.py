@@ -28,10 +28,8 @@ contract as every file-based source).
 
 from __future__ import annotations
 
-import glob as _glob
 import gzip
 import io
-import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -65,14 +63,12 @@ class WarcFilePartition(InputPartition):
 
 
 def _list_archives(path: str) -> list[str]:
-    """Driver-side planning: directory, glob, or single file → sorted
-    archive paths (sorted so partition ids are deterministic)."""
-    if os.path.isdir(path):
-        names = [os.path.join(path, n) for n in os.listdir(path)
-                 if ".warc" in n and not n.endswith(".inprogress")]
-    else:
-        names = _glob.glob(path)
-    return sorted(n for n in names if os.path.isfile(n))
+    """Driver-side planning: directory, glob, single file, or filesystem
+    URI (s3/hdfs/… via pyarrow.fs) → sorted archive paths (sorted so
+    partition ids are deterministic)."""
+    from .fsutil import list_files
+
+    return list_files(path, match=".warc")
 
 
 def _iter_file_rows(path: str,
@@ -83,9 +79,10 @@ def _iter_file_rows(path: str,
     standard per-archive error row. ``content_types`` mirrors the batch
     reader: non-matching HTTP payloads are dropped at the walk, before
     they reach an Arrow batch."""
+    from .fsutil import open_binary
     from .warc import _parse_warc_date, iter_warc_records, parse_http_response
 
-    with open(path, "rb") as raw:
+    with open_binary(path) as raw:
         magic = raw.read(2)
         raw.seek(0)
         fp = gzip.GzipFile(fileobj=raw) if magic == b"\x1f\x8b" \
