@@ -65,10 +65,10 @@ def surt_key(url: str) -> str:
     """Simplified SURT canonical key (the index's sort order): lowercase,
     scheme and userinfo dropped, host reversed comma-joined with a
     leading ``www.`` stripped, default ports dropped, query params
-    sorted — ``https://www.Example.com/A?b=2&a=1`` →
+    sorted, fragment dropped — ``https://www.Example.com/A?b=2&a=1#s`` →
     ``com,example)/a?a=1&b=2``. Deterministic string math only, so the
     same url always lands in the same index shard."""
-    u = url.strip()
+    u = url.strip().split("#", 1)[0]
     rest = u.split("://", 1)[1] if "://" in u else u
     hostport, _, path = rest.partition("/")
     host = hostport.rsplit("@", 1)[-1]

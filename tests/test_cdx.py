@@ -35,6 +35,9 @@ def test_surt_key():
         "org,site,sub:8080/p/q".replace("/p/q", ")/p/q")
     assert surt_key("http://user@host.net:80/") == "net,host)/"
     assert surt_key("example.com") == "com,example)/"
+    assert surt_key("https://example.com/p?a=1#frag") == \
+        "com,example)/p?a=1"
+    assert surt_key("https://example.com/p#frag") == "com,example)/p"
 
 
 @pytest.mark.parametrize("gz", [True, False])
