@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .fsutil import open_binary
 from .warc import (
+    _BINARYFILE_SCHEMA,
     PAGES_SCHEMA,
     _parse_warc_date,
     iter_warc_records,
@@ -188,15 +189,35 @@ def build_cdx(spark: SparkSession, path: str) -> DataFrame:
     index of a 100 TB crawl is ~200 GB — small enough to keep as a
     regular table and semi-join against every downstream job."""
     files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content") \
+        .mapInPandas(_index_kernel, CDX_SCHEMA)
 
-    def _index(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            for src, blob in zip(pdf["path"], pdf["content"]):
-                name = str(src)
-                yield pd.DataFrame(
-                    iter_cdx_entries(bytes(blob), name), columns=_CDX_COLS)
 
-    return files.select("path", "content").mapInPandas(_index, CDX_SCHEMA)
+def _index_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        for src, blob in zip(pdf["path"], pdf["content"]):
+            yield pd.DataFrame(
+                iter_cdx_entries(bytes(blob), str(src)), columns=_CDX_COLS)
+
+
+def build_cdx_stream(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int = 4,
+                     glob: str = "*.warc*") -> DataFrame:
+    """Streaming twin of :func:`build_cdx`: index archives AS THEY LAND
+    (Common Crawl publishes per-segment cdx files alongside the segment
+    for exactly this reason). Same file-stream machinery as
+    ``read_warc_stream`` — the checkpoint commits whole archives, so a
+    committed archive's entries are in exactly one micro-batch. The
+    stream appends to the index TABLE; the globally-sorted CDXJ shards
+    (:func:`write_cdxj`) are a periodic batch compaction over it, like
+    the crawl's own cluster index."""
+    files = (spark.readStream.format("binaryFile")
+             .schema(_BINARYFILE_SCHEMA)
+             .option("pathGlobFilter", glob)
+             .option("maxFilesPerTrigger", str(max_files_per_trigger))
+             .load(input_dir))
+    return files.select("path", "content") \
+        .mapInPandas(_index_kernel, CDX_SCHEMA)
 
 
 # --- CDXJ publication (the crawl's text format) -----------------------------
@@ -301,6 +322,25 @@ def read_cdxj(spark: SparkSession, path: str | list[str]) -> DataFrame:
                 yield _one(bytes(blob), str(src))
 
     return files.select("path", "content").mapInPandas(_parse, CDX_SCHEMA)
+
+
+def latest_unique_captures(cdx: DataFrame) -> DataFrame:
+    """One fetch target per distinct content: the crawl captures the
+    same page under many timestamps (and mirrored content under many
+    urls); the payload digest identifies duplicates WITHOUT touching
+    archive bytes, so deduplicating on the index before
+    :func:`fetch_cdx_records` multiplies the fetch savings. Keeps the
+    newest capture per digest (ties broken by urlkey for determinism).
+    Scale shape: one hash shuffle on digest — rank inside partitions,
+    no collect, no join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("digest").orderBy(
+        F.col("warc_ts").desc(), F.col("urlkey"))
+    return (cdx.filter(cdx.error.isNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
 
 
 def prune_shards(manifest: pd.DataFrame, prefix: str) -> list[str]:

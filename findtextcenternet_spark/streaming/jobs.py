@@ -116,6 +116,34 @@ def stream_extract_warc(spark: SparkSession, input_dir: str,
             .trigger(availableNow=True).start())
 
 
+def stream_index_warc(spark: SparkSession, input_dir: str,
+                      out_dir: str, checkpoint_dir: str,
+                      max_files_per_trigger: int = 4):
+    """Streaming crawl indexing: tail a WARC landing directory and append
+    each micro-batch's CDX entries (sources/cdx.build_cdx_stream) to the
+    index table under ``batch_id=<id>`` partitions — overwrite per batch,
+    so a replayed batch (crash between sink write and checkpoint commit)
+    overwrites itself instead of duplicating. Error rows (corrupt archive
+    tails) land in the table with their per-archive key, so the index
+    also records WHICH archives need re-fetching. The sorted CDXJ shards
+    remain a batch compaction over this table (write_cdxj), mirroring the
+    crawl's per-segment cdx → cluster index split."""
+    import os
+
+    from ..sources.cdx import build_cdx_stream
+
+    entries = build_cdx_stream(spark, input_dir,
+                               max_files_per_trigger=max_files_per_trigger)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
+
+    return (entries.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 def stream_quality_windows(spark: SparkSession, input_dir: str,
                            watermark: str = "10 minutes",
                            window: str = "1 hour"):

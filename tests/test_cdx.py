@@ -9,9 +9,11 @@ import pytest
 
 from findtextcenternet_spark.corpus import generate_pages
 from findtextcenternet_spark.sources.cdx import (
+    CDX_SCHEMA,
     build_cdx,
     fetch_cdx_records,
     iter_cdx_entries,
+    latest_unique_captures,
     read_cdxj,
     surt_key,
     write_cdxj,
@@ -120,6 +122,39 @@ def test_build_fetch_parity(spark, tmp_path, corpus):
     full_map = {u: bytes(h) for u, h in zip(full["url"], full["html"])
                 if u in want}
     assert full_map == want
+
+
+def test_latest_unique_captures(spark, tmp_path, corpus):
+    """Re-captures of identical content collapse to the newest entry per
+    digest before any archive byte is fetched."""
+    import datetime as dt
+
+    rows = _rows(corpus.head(8))
+    later = []
+    for r in rows[:3]:                   # re-capture 3 pages later,
+        r2 = dict(r)                     # identical bytes
+        r2["warc_ts"] = r["warc_ts"] + pd.Timedelta(days=30)
+        later.append(r2)
+    (tmp_path / "a.warc.gz").write_bytes(write_warc(rows))
+    (tmp_path / "b.warc.gz").write_bytes(write_warc(later))
+
+    cdx = build_cdx(spark, str(tmp_path) + "/*.warc.gz")
+    assert cdx.count() == 11
+    kept = latest_unique_captures(cdx).toPandas()
+    assert len(kept) == 8                # one per distinct content
+    by_url = kept.set_index("url")
+    for r in rows[:3]:                   # the NEWER capture survives
+        assert by_url.loc[r["url"], "warc_ts"].to_pydatetime() \
+            == (r["warc_ts"] + pd.Timedelta(days=30)).to_pydatetime()
+    # deduped index still fetches cleanly
+    pages = fetch_cdx_records(
+        spark, spark.createDataFrame(kept, CDX_SCHEMA)).toPandas()
+    assert len(pages) == 8 and pages["error"].isna().all()
+    # plan: one digest shuffle, no SinglePartition window
+    phys = latest_unique_captures(cdx)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange SinglePartition" not in phys
+    assert phys.count("Exchange hashpartitioning(digest") == 1
 
 
 def test_fetch_offset_banding(spark, tmp_path, corpus):
@@ -328,6 +363,43 @@ def test_manifest_pruned_lookup(spark, tmp_path, corpus):
     # without touching storage
     assert prune_shards(manifest, chr(0x10FFFF)) == []
     assert lookup_cdxj(spark, manifest, chr(0x10FFFF)).count() == 0
+
+
+def test_stream_index_warc_incremental(spark, tmp_path, corpus):
+    """Streaming indexer: entries match the batch build, a restarted
+    query indexes ONLY newly-landed archives, and a corrupt tail lands
+    as an error row naming its archive instead of stalling the stream."""
+    from findtextcenternet_spark.streaming import stream_index_warc
+
+    rows = _rows(corpus)[:16]
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "seg0.warc.gz").write_bytes(write_warc(rows[:8]))
+    out, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+
+    q = stream_index_warc(spark, str(land), out, ckpt)
+    q.awaitTermination(240)
+    first = spark.read.parquet(out).toPandas()
+    assert len(first) == 8 and first["error"].isna().all()
+
+    (land / "seg1.warc.gz").write_bytes(write_warc(rows[8:]))
+    (land / "seg2.warc").write_bytes(
+        write_warc(rows[:2], gzip_records=False) + b"WARC/1.0\r\nbroken")
+    q2 = stream_index_warc(spark, str(land), out, ckpt)
+    q2.awaitTermination(240)
+    allidx = spark.read.parquet(out).toPandas()
+    good = allidx[allidx["error"].isna()]
+    assert len(good) == 18              # 8 + 8 + 2 salvaged, no re-index
+    bad = allidx[allidx["error"].notna()]
+    assert len(bad) == 1 and bad.iloc[0]["filename"].endswith("seg2.warc")
+
+    # the streamed table equals the batch build over the same archives
+    batch = build_cdx(spark, str(land)).toPandas()
+    key = ["urlkey", "warc_ts", "digest", "offset", "length", "filename"]
+    a = good[key].sort_values(key).reset_index(drop=True)
+    b = batch[batch["error"].isna()][key].sort_values(key) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_index_pruned_extraction(spark, tmp_path, corpus):
