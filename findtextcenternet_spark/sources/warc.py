@@ -95,9 +95,11 @@ def _dechunk(body: bytes) -> bytes:
         pos = eol + 2 + size + 2                       # skip chunk CRLF
 
 
-def parse_http_response(body: bytes) -> tuple[dict[str, str], bytes]:
-    """(headers, decoded payload) from raw HTTP response bytes: status
-    line + headers, de-chunk, then reverse Content-Encoding."""
+def split_http_response(body: bytes) -> tuple[dict[str, str], bytes]:
+    """(headers, RAW still-encoded payload) — header parse only, so
+    callers filtering on Content-Type can discard a record WITHOUT
+    paying its de-chunk/gunzip cost (on a real crawl that is most of
+    the bytes)."""
     sep = body.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("HTTP response has no header terminator")
@@ -109,7 +111,11 @@ def parse_http_response(body: bytes) -> tuple[dict[str, str], bytes]:
             k, v = line.split(b":", 1)
             headers[k.strip().decode("latin-1").lower()] = \
                 v.strip().decode("latin-1")
-    payload = body[sep + 4:]
+    return headers, body[sep + 4:]
+
+
+def decode_http_payload(headers: dict[str, str], payload: bytes) -> bytes:
+    """De-chunk, then reverse Content-Encoding."""
     if "chunked" in headers.get("transfer-encoding", "").lower():
         payload = _dechunk(payload)
     enc = headers.get("content-encoding", "").lower()
@@ -122,7 +128,13 @@ def parse_http_response(body: bytes) -> tuple[dict[str, str], bytes]:
             payload = zlib.decompress(payload, -zlib.MAX_WBITS)
     elif enc and enc != "identity":
         raise ValueError(f"unsupported Content-Encoding {enc!r}")
-    return headers, payload
+    return payload
+
+
+def parse_http_response(body: bytes) -> tuple[dict[str, str], bytes]:
+    """(headers, decoded payload) from raw HTTP response bytes."""
+    headers, payload = split_http_response(body)
+    return headers, decode_http_payload(headers, payload)
 
 
 def _parse_warc_date(s: str) -> dt.datetime:
@@ -156,11 +168,14 @@ def pages_from_warc_bytes(blob: bytes, source: str = "",
                 continue
             if "application/http" not in headers.get("content-type", ""):
                 continue
-            http, payload = parse_http_response(body)
+            # header-only parse first: a filtered-out record's payload
+            # is never de-chunked or gunzipped
+            http, raw_payload = split_http_response(body)
             if content_types is not None:
                 ct = http.get("content-type", "").lower()
                 if not any(ct.startswith(p) for p in content_types):
                     continue
+            payload = decode_http_payload(http, raw_payload)
             rows.append({
                 "url": headers.get("warc-target-uri", ""),
                 "warc_ts": _parse_warc_date(headers["warc-date"]),

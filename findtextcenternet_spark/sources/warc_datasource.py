@@ -80,7 +80,8 @@ def _iter_file_rows(path: str,
     reader: non-matching HTTP payloads are dropped at the walk, before
     they reach an Arrow batch."""
     from .fsutil import open_binary
-    from .warc import _parse_warc_date, iter_warc_records, parse_http_response
+    from .warc import (_parse_warc_date, decode_http_payload,
+                       iter_warc_records, split_http_response)
 
     with open_binary(path) as raw:
         magic = raw.read(2)
@@ -93,11 +94,13 @@ def _iter_file_rows(path: str,
                     continue
                 if "application/http" not in headers.get("content-type", ""):
                     continue
-                http, payload = parse_http_response(body)
+                http, raw_payload = split_http_response(body)
                 if content_types is not None:
+                    # filtered records skip the de-chunk/gunzip entirely
                     ct = http.get("content-type", "").lower()
                     if not any(ct.startswith(p) for p in content_types):
                         continue
+                payload = decode_http_payload(http, raw_payload)
                 yield (headers.get("warc-target-uri", ""),
                        _parse_warc_date(headers["warc-date"]),
                        payload, None, "", None)

@@ -70,6 +70,26 @@ def test_content_type_filter(corpus):
     assert len(pages_from_warc_bytes(blob)) == 12
 
 
+def test_content_type_filter_skips_payload_decode():
+    """A filtered-out record's payload is never de-chunked/gunzipped:
+    a junk record with a CORRUPT gzip body parses cleanly when filtered
+    away, but poisons the walk when it must be decoded."""
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+            b"Content-Encoding: gzip\r\nContent-Length: 9\r\n\r\n"
+            b"not-gzip!")
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x.example/bad.png\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+    filtered = pages_from_warc_bytes(rec, content_types=("text/html",))
+    assert len(filtered) == 0            # skipped without decoding
+    unfiltered = pages_from_warc_bytes(rec)
+    assert len(unfiltered) == 1          # decode attempted -> salvage row
+    assert unfiltered.iloc[0]["error"] is not None
+
+
 def test_http_parse_units():
     hdrs, payload = parse_http_response(
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
