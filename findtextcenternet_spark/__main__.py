@@ -51,6 +51,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cdx-prefix", default=None,
                     help="with --format cdx: keep only urlkeys with "
                          "this SURT prefix")
+    ap.add_argument("--cdx-dedup", action="store_true",
+                    help="with --format cdx: collapse re-captures to the "
+                         "newest entry per payload digest before fetching")
     args = ap.parse_args(argv)
     if args.index and args.input_format != "warc":
         ap.error("--index requires --format warc")
@@ -116,6 +119,10 @@ def main(argv: list[str] | None = None) -> int:
             idx = idx.filter(F.col("mime") == args.cdx_mime)
         if args.cdx_prefix:
             idx = idx.filter(F.col("urlkey").startswith(args.cdx_prefix))
+        if args.cdx_dedup:
+            from .sources.cdx import latest_unique_captures
+
+            idx = latest_unique_captures(idx)
         pages = fetch_cdx_records(spark, idx).drop("error")
     else:
         pages = spark.read.parquet(args.input)

@@ -317,6 +317,22 @@ def test_cli_index_then_extract(spark, tmp_path, corpus):
     assert list(a["url"]) == list(b["url"]) and len(a) == 18
     assert list(a["text"]) == list(b["text"])
 
+    # --cdx-dedup: re-running into a fresh out_dir after a re-crawl of
+    # identical bytes extracts each distinct content once
+    (d / "recrawl.warc.gz").write_bytes(write_warc(
+        [{**rows[0], "warc_ts": rows[0]["warc_ts"]
+          + pd.Timedelta(days=7)}]))
+    idx2 = tmp_path / "cdx2"
+    assert main([str(d), str(idx2), "--format", "warc", "--index"]) == 0
+    out2 = tmp_path / "out2"
+    rc = main([str(idx2), str(out2), "--format", "cdx",
+               "--cdx-mime", "text/html", "--cdx-dedup",
+               "--run-id", "r1"])
+    assert rc == 0
+    docs2 = spark.read.parquet(str(out2 / "docs")) \
+        .filter("error is null").toPandas()
+    assert len(docs2) == 18             # the re-capture collapsed
+
 
 def test_prune_shards_unit():
     """Pure interval math on a synthetic manifest — no Spark, no files."""
