@@ -86,8 +86,37 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def _png_deinterlace(raw: np.ndarray, w: int, h: int, ch: int
-                     ) -> np.ndarray:
+def _png_row_bytes(w: int, depth: int, ch: int) -> int:
+    return (w * ch * depth + 7) // 8
+
+
+def _png_bpp(depth: int, ch: int) -> int:
+    """Filter delta in BYTES (RFC 2083 §6.2): whole bytes per pixel,
+    floor-1 for packed sub-byte depths."""
+    return max(1, (depth * ch) // 8)
+
+
+def _png_samples(sub: np.ndarray, pw: int, ph: int, depth: int,
+                 ch: int, ctype: int) -> np.ndarray:
+    """Unfiltered row bytes (ph, stride) → uint8 samples (ph, pw, ch).
+    16-bit samples downsample to their high byte (the standard 16→8
+    reduction); 1/2/4-bit packed samples (gray or palette index,
+    MSB-first per the spec) unpack bitwise — gray expands to the full
+    0-255 range, palette indices stay raw for the PLTE lookup."""
+    if depth == 8:
+        return sub.reshape(ph, pw, ch)
+    if depth == 16:
+        return np.ascontiguousarray(sub.reshape(ph, pw, ch, 2)[..., 0])
+    bits = np.unpackbits(sub, axis=1)[:, :pw * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    v = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+    if ctype == 0:
+        v = v * 255 // ((1 << depth) - 1)
+    return v.astype(np.uint8)[:, :, None]
+
+
+def _png_deinterlace(raw: np.ndarray, w: int, h: int, depth: int,
+                     ch: int, ctype: int) -> np.ndarray:
     """Adam7: the inflated stream is seven independently-filtered reduced
     images; unfilter each and scatter it onto its pass grid."""
     img = np.zeros((h, w, ch), dtype=np.uint8)
@@ -97,9 +126,11 @@ def _png_deinterlace(raw: np.ndarray, w: int, h: int, ch: int
         ph = (h - y0 + ys - 1) // ys
         if pw <= 0 or ph <= 0:      # pass empty at this image size
             continue
-        n = ph * (1 + pw * ch)
-        sub = _png_unfilter(raw[pos:pos + n], ph, pw * ch, ch)
-        img[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
+        stride = _png_row_bytes(pw, depth, ch)
+        n = ph * (1 + stride)
+        sub = _png_unfilter(raw[pos:pos + n], ph, stride,
+                            _png_bpp(depth, ch))
+        img[y0::ys, x0::xs] = _png_samples(sub, pw, ph, depth, ch, ctype)
         pos += n
     if pos != len(raw):
         raise ValueError("PNG interlaced data length mismatch")
@@ -107,9 +138,10 @@ def _png_deinterlace(raw: np.ndarray, w: int, h: int, ch: int
 
 
 def decode_png(blob: bytes) -> np.ndarray:
-    """Baseline PNG decode, stdlib zlib + NumPy only: 8-bit depth, all
-    five row filters, gray/RGB/palette/alpha color types, both
-    non-interlaced and Adam7-interlaced streams.
+    """Baseline PNG decode, stdlib zlib + NumPy only: every legal bit
+    depth (1/2/4-bit gray+palette, 8-bit, 16-bit — 16-bit reduces to
+    its high byte), all five row filters, gray/RGB/palette/alpha color
+    types, both non-interlaced and Adam7-interlaced streams.
     Returns an (h, w, channels) uint8 array."""
     import zlib
 
@@ -132,14 +164,23 @@ def decode_png(blob: bytes) -> np.ndarray:
     if hdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, _comp, _filt, interlace = hdr
-    if depth != 8 or interlace not in (0, 1) or ctype not in _PNG_CHANNELS:
+    if depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1) \
+            or ctype not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"baseline PNG decoder: depth={depth} colortype={ctype} "
-            f"interlace={interlace} unsupported (8-bit only)")
+            f"interlace={interlace} unsupported")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError("PNG: sub-byte depth is only legal for "
+                         "grayscale/palette (RFC 2083 §4.1.1)")
+    if depth == 16 and ctype == 3:
+        raise ValueError("PNG: 16-bit palette is not legal")
     ch = _PNG_CHANNELS[ctype]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    img = (_png_deinterlace(raw, w, h, ch) if interlace
-           else _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch))
+    img = (_png_deinterlace(raw, w, h, depth, ch, ctype) if interlace
+           else _png_samples(
+               _png_unfilter(raw, h, _png_row_bytes(w, depth, ch),
+                             _png_bpp(depth, ch)),
+               w, h, depth, ch, ctype))
     if ctype == 3:
         if plte is None:
             raise ValueError("paletted PNG missing PLTE")
@@ -233,8 +274,9 @@ def decode_image_bytes(blob: bytes) -> np.ndarray:
         from .gif import decode_gif
         return decode_gif(blob)
     raise NotImplementedError(
-        "no codec for this format: bundled decoders cover PNG (8-bit, "
-        "incl. Adam7), BMP (BI_RGB), binary PNM, GIF, and sequential + "
+        "no codec for this format: bundled decoders cover PNG (all "
+        "depths, incl. Adam7), BMP (BI_RGB), binary PNM, GIF, and "
+        "sequential + "
         "progressive Huffman JPEG; install PIL for arithmetic/lossless "
         "JPEG, WEBP, TIFF")
 

@@ -84,20 +84,47 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data)))
 
 
-def _png_filter_rows(sub: np.ndarray, filters: list[int]) -> bytearray:
-    """Filter one (sub-)image's rows with explicit per-row filter types
-    (RFC 2083 §6) — shared by the sequential and Adam7 writers."""
+def _png_pack_rows(sub: np.ndarray, depth: int) -> np.ndarray:
+    """Samples (ph, pw, ch) → byte rows (ph, stride): identity at 8-bit,
+    sample-replicated high/low bytes at 16, MSB-first bit packing with
+    row padding below 8 (RFC 2083 §2.3)."""
     ph, pw, ch = sub.shape
+    flat = sub.reshape(ph, pw * ch)
+    if depth == 8:
+        return flat
+    if depth == 16:
+        out = np.empty((ph, pw * ch, 2), dtype=np.uint8)
+        out[..., 0] = flat     # high byte = the sample the decoder keeps
+        out[..., 1] = flat ^ 0xA5   # junk low byte: must be ignored
+        return out.reshape(ph, -1)
+    assert ch == 1 and sub.max(initial=0) < (1 << depth)
+    bits = ((flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1)
+    bits = bits.reshape(ph, pw * depth).astype(np.uint8)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
+
+
+def _png_filter_rows(sub: np.ndarray, filters: list[int],
+                     depth: int = 8) -> bytearray:
+    """Filter one (sub-)image's rows with explicit per-row filter types
+    (RFC 2083 §6) — shared by the sequential and Adam7 writers. Filters
+    operate on packed BYTES with the spec's byte-unit pixel delta."""
+    ph, pw, ch = sub.shape
+    rows_b = _png_pack_rows(sub, depth)
+    bpp = max(1, (depth * ch) // 8)
+    stride = rows_b.shape[1]
     raw = bytearray()
-    prev = np.zeros(pw * ch, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
     for y in range(ph):
-        row = sub[y].reshape(-1).astype(np.int32)
+        row = rows_b[y].astype(np.int32)
         ft = filters[y % len(filters)]
         raw.append(ft)
-        for x in range(pw * ch):
-            a = row[x - ch] if x >= ch else 0
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
             b = prev[x]
-            c = prev[x - ch] if x >= ch else 0
+            c = prev[x - bpp] if x >= bpp else 0
             if ft == 0:
                 pred = 0
             elif ft == 1:
@@ -117,15 +144,18 @@ def _png_filter_rows(sub: np.ndarray, filters: list[int]) -> bytearray:
 
 
 def _encode_png(img: np.ndarray, filters: list[int],
-                interlace: bool = False) -> bytes:
+                interlace: bool = False, depth: int = 8,
+                palette: np.ndarray | None = None) -> bytes:
     """Spec-following PNG writer (RFC 2083) with explicit per-row filter
     types — an independent check of the decoder's unfilter math. With
     ``interlace`` the seven Adam7 reduced images are each filtered
-    independently (filter state resets per pass, per the spec)."""
+    independently (filter state resets per pass, per the spec). With
+    ``palette`` the image is (h, w, 1) indices and a PLTE chunk is
+    written; ``depth`` covers 1/2/4/8/16."""
     import struct
     import zlib
     h, w, ch = img.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ctype = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     if interlace:
         passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
                   (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
@@ -133,10 +163,17 @@ def _encode_png(img: np.ndarray, filters: list[int],
         for x0, y0, xs, ys in passes:
             sub = img[y0::ys, x0::xs]
             if sub.shape[0] and sub.shape[1]:
-                raw += _png_filter_rows(np.ascontiguousarray(sub), filters)
+                raw += _png_filter_rows(np.ascontiguousarray(sub),
+                                        filters, depth)
     else:
-        raw = _png_filter_rows(img, filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
+        raw = _png_filter_rows(img, filters, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       int(interlace))
+    if palette is not None:
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+                + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png_chunk(b"IEND", b""))
     return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
             + _png_chunk(b"IEND", b""))
@@ -187,6 +224,44 @@ def test_png_adam7_roundtrip(shape):
     # and the same pixels as the sequential encoding of the same image
     seq = mm.decode_png(_encode_png(img, [2]))
     assert np.array_equal(got, seq)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_depth16(ch, interlace):
+    """16-bit samples reduce to their high byte; the writer plants junk
+    low bytes so a decoder reading the wrong byte fails loudly."""
+    rng = np.random.default_rng(16 * ch + interlace)
+    img = rng.integers(0, 256, (9, 7, ch), dtype=np.uint8)
+    got = mm.decode_png(_encode_png(img, [0, 1, 2, 3, 4], depth=16,
+                                    interlace=interlace))
+    assert np.array_equal(got, img)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_low_depth_gray(depth, interlace):
+    """Packed sub-byte grayscale unpacks MSB-first and expands to the
+    full 0-255 range (odd width exercises row-padding bits)."""
+    rng = np.random.default_rng(depth + 10 * interlace)
+    vals = rng.integers(0, 1 << depth, (11, 13, 1), dtype=np.uint8)
+    got = mm.decode_png(_encode_png(vals, [0, 1, 2, 3, 4], depth=depth,
+                                    interlace=interlace))
+    want = (vals.astype(np.uint16) * 255 // ((1 << depth) - 1)) \
+        .astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_low_depth_palette(depth):
+    """Packed palette indices stay raw for the PLTE lookup."""
+    rng = np.random.default_rng(77 + depth)
+    n = 1 << depth
+    palette = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, (6, 11, 1), dtype=np.uint8)
+    got = mm.decode_png(_encode_png(idx, [0, 2, 4], depth=depth,
+                                    palette=palette))
+    assert np.array_equal(got, palette[idx[:, :, 0]])
 
 
 def test_bmp_roundtrip_both_orientations():
