@@ -163,6 +163,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     while i + 4 <= len(blob):
         if blob[i] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+        # skip them so the padding byte isn't misread as a marker code
+        while i + 1 < len(blob) and blob[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(blob):
+            break
         m = blob[i + 1]
         if m == 0xD9:                 # EOI
             break

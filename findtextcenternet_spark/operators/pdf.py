@@ -43,7 +43,11 @@ import pandas as pd
 PDF_MAGIC = b"%PDF-"
 
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) pins the match to the FULL number so backtracking can't peel
+# digits off an indirect reference: without it, "/Length 60 0 R" lets
+# (\d+) retreat to "6" and the (?!\s+\d+\s+R) lookahead then passes
+# against "0 0 R" — returning a bogus direct length of 6.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+(\d+)\s+R")
 # the whole /Filter entry: a single name or an array of names
 _FILTER_ENTRY_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
@@ -294,12 +298,12 @@ def _resolve_length(blob: bytes, dct: bytes) -> int | None:
     (``/Length 6 0 R`` → the integer body of object 6) — the shape most
     real writers emit because the length is only known after the
     compressed stream is written."""
-    lm = _LENGTH_RE.search(dct)
-    if lm:
-        return int(lm.group(1))
+    # the indirect form first: it is the more specific pattern, so a
+    # dict that matches it can never be a direct length
     rm = _LENGTH_REF_RE.search(dct)
     if rm is None:
-        return None
+        lm = _LENGTH_RE.search(dct)
+        return int(lm.group(1)) if lm else None
     om = re.search(rb"(?:^|[\r\n>])\s*" + rm.group(1) + rb"\s+"
                    + rm.group(2) + rb"\s+obj\s*(\d+)\s*endobj", blob)
     return int(om.group(1)) if om else None

@@ -29,7 +29,9 @@ Documented divergences (each deliberate, none observable on clean pages):
   re-expressed as transitive interval-overlap column clustering plus the
   geometric chain reorder — identical observable reading order for
   rectangular column layouts; the reference's table-vs-columns heuristic
-  (:906-980) is out of scope.
+  (:906-980) is ported as ``_table_interleave`` (below, ~:2028): groups
+  whose row bands interleave are read row-major like a table instead of
+  column-major.
 
 Scale note: this runs inside ``applyInPandas(url)`` — one page per group,
 pages never cross executors, so the stage is embarrassingly parallel and

@@ -45,6 +45,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from . import fsutil
 from .fsutil import open_binary
 from .warc import (
     _BINARYFILE_SCHEMA,
@@ -249,9 +250,10 @@ def write_cdxj(cdx: DataFrame, out_dir: str, num_shards: int = 1
     lookup binary-searches the manifest, opens ONE shard, and scans a
     sorted run. Error rows are excluded (they live in the quarantine
     path, not the published index). Same retry-safe write as the WET
-    sink: shard name is a pure function of the partition id, tmpfile +
-    atomic rename, gzip mtime=0."""
-    os.makedirs(out_dir, exist_ok=True)
+    sink (``fsutil.write_shard``: local tmpfile + atomic rename,
+    object-store URI single idempotent PUT): shard name is a pure
+    function of the partition id, gzip mtime=0."""
+    fsutil.makedirs(out_dir)
 
     def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -267,11 +269,8 @@ def write_cdxj(cdx: DataFrame, out_dir: str, num_shards: int = 1
                 lines.append(_cdxj_line(r))
         if not lines:
             return
-        out = os.path.join(out_dir, f"cdx-{pid:05d}.cdx.gz")
-        tmp = out + ".inprogress"
-        with open(tmp, "wb") as f:
-            f.write(gzip.compress(b"".join(lines), mtime=0))
-        os.replace(tmp, out)
+        out = fsutil.join(out_dir, f"cdx-{pid:05d}.cdx.gz")
+        fsutil.write_shard(out, gzip.compress(b"".join(lines), mtime=0))
         yield pd.DataFrame([{"path": out, "n_records": len(lines),
                              "first_key": first, "last_key": last}])
 

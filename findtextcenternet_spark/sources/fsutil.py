@@ -71,3 +71,57 @@ def list_files(path: str, match: str = ".warc") -> list[str]:
         f"{scheme}://{fi.path}" for fi in fs.get_file_info(sel)
         if fi.type == pafs.FileType.File and match in fi.base_name
         and not fi.base_name.endswith(".inprogress"))
+
+
+def _as_local(path: str) -> str | None:
+    """Local filesystem path for bare paths, ``file:/x``, and full
+    ``file://`` URIs; None for every other scheme."""
+    if _is_local(path):
+        return _strip_file_scheme(path)
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    return None
+
+
+def makedirs(path: str) -> None:
+    """mkdir -p across the same scheme dispatch as ``open_binary``.
+    Object stores have no directories — ``create_dir`` is a no-op/marker
+    there, which is exactly right."""
+    local = _as_local(path)
+    if local is not None:
+        os.makedirs(local, exist_ok=True)
+        return
+    import pyarrow.fs as pafs
+
+    fs, p = pafs.FileSystem.from_uri(path)
+    fs.create_dir(p, recursive=True)
+
+
+def write_shard(path: str, data: bytes) -> None:
+    """Retry-safe executor-side shard write, scheme-dispatched like the
+    read path (``open_binary``). Local / ``file://``: tmpfile + atomic
+    ``os.replace`` so a reader never observes a partial shard (the
+    ``.inprogress`` tmp name is excluded by ``list_files``). Other URI
+    schemes (``s3://``, ``gs://``, ``hdfs://``): one
+    ``open_output_stream`` to the final name — object stores have no
+    atomic rename, but a single PUT is itself all-or-nothing, and the
+    shard name being a pure function of the partition id makes task
+    retries byte-identically idempotent."""
+    local = _as_local(path)
+    if local is not None:
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        tmp = local + ".inprogress"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, local)
+        return
+    import pyarrow.fs as pafs
+
+    fs, p = pafs.FileSystem.from_uri(path)
+    with fs.open_output_stream(p) as f:
+        f.write(data)
+
+
+def join(base: str, name: str) -> str:
+    """Path join that preserves URI schemes (posix separators)."""
+    return base.rstrip("/") + "/" + name

@@ -138,7 +138,16 @@ def parse_http_response(body: bytes) -> tuple[dict[str, str], bytes]:
 
 
 def _parse_warc_date(s: str) -> dt.datetime:
-    return dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
+    """WARC 1.0 dates are second-grain; WARC 1.1 permits fractional
+    seconds ('2017-03-06T04:03:53.405Z'). Accept both — a ValueError
+    here would trip the corrupt-tail salvage and silently drop every
+    remaining record in the archive."""
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return dt.datetime.fromisoformat(s.rstrip("Z"))
 
 
 def pages_from_warc_bytes(blob: bytes, source: str = "",
@@ -287,9 +296,11 @@ def write_wet(docs: DataFrame, out_dir: str) -> DataFrame:
     shuffle — size shards by ``repartition(n)`` upstream (at 100 TB,
     target ~1 GB per shard like the crawl's own segments). Task retries
     are safe: the shard name is a pure function of the partition id and
-    the write is tmpfile + atomic rename, so a speculative or retried
-    task overwrites its own output byte-identically."""
-    import os
+    the write goes through ``fsutil.write_shard`` (local: tmpfile +
+    atomic rename; object-store URI: single idempotent PUT), so a
+    speculative or retried task overwrites its own output
+    byte-identically and out_dir may live on any pyarrow filesystem."""
+    from . import fsutil
 
     def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -306,16 +317,13 @@ def write_wet(docs: DataFrame, out_dir: str) -> DataFrame:
                 n += 1
         if n == 0:                       # empty partition -> no shard
             return
-        out = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
-        tmp = out + ".inprogress"
+        out = fsutil.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
         data = b"".join(blobs)
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, out)
+        fsutil.write_shard(out, data)
         yield pd.DataFrame([{"path": out, "n_records": n,
                              "bytes": len(data)}])
 
-    os.makedirs(out_dir, exist_ok=True)
+    fsutil.makedirs(out_dir)
     from pyspark.sql import functions as F
 
     # the extraction output drops warc_ts (it's input metadata); records

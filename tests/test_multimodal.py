@@ -1112,3 +1112,17 @@ def test_pnm_header_whitespace_payload_and_comments():
     img6 = decode_pnm(p6)
     assert img6.shape == (1, 2, 3)
     assert img6.reshape(-1).tolist() == [10, 1, 2, 3, 4, 5]
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """ADVICE r5: 0xFF fill bytes before a marker are legal padding
+    (T.81 B.1.1.2); the marker walk must skip them instead of reading a
+    garbage segment length."""
+    from findtextcenternet_spark.operators.jpeg import decode_jpeg
+    img = _smooth_test_image(24, 32, 1, seed=41)
+    blob, recon = _encode_jpeg(img)
+    padded = blob.replace(b"\xff\xdb", b"\xff\xff\xff\xff\xdb", 1)
+    assert padded != blob
+    got = decode_jpeg(padded)
+    assert np.array_equal(got, decode_jpeg(blob))
+    assert int(np.abs(got.astype(int) - recon.astype(int)).max()) <= 1

@@ -204,3 +204,23 @@ def test_pipeline_routes_pdf(spark):
     for url in want.index:
         assert got.loc[url, "text"] == want.loc[url, "text"], url
         assert got.loc[url, "path"] == want.loc[url, "path"], url
+
+
+def test_indirect_length_multidigit_objnum():
+    """ADVICE r5 (high): '/Length 60 0 R' must resolve through object 60.
+    The old _LENGTH_RE let (\\d+) backtrack to '6' so the negative
+    lookahead passed against '0 0 R', slicing the stream to a bogus
+    direct length of 6 — truncating uncompressed streams silently and
+    quarantining valid Flate streams. Real crawls hit this constantly
+    (content streams usually sit after >=10 objects)."""
+    import zlib
+
+    content = b"BT /F1 12 Tf 72 720 Td (Hello world from object sixty) Tj ET"
+    for body, extra in ((content, b""),
+                        (zlib.compress(content), b" /Filter /FlateDecode")):
+        blob = (b"%PDF-1.4\n"
+                b"60 0 obj\n" + str(len(body)).encode() + b"\nendobj\n"
+                b"4 0 obj\n<< /Length 60 0 R" + extra
+                + b" >>\nstream\n" + body + b"\nendstream\nendobj\n")
+        got = extract_pdf_text(blob)
+        assert "Hello world from object sixty" in got, extra

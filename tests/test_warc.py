@@ -260,3 +260,20 @@ def test_spark_ingest_to_extraction(spark, tmp_path, corpus):
     assert len(docs) == 60
     for url in want.index:
         assert docs.loc[url, "text"] == want.loc[url, "text"], url
+
+
+def test_warc11_fractional_second_dates(corpus):
+    """ADVICE r5: WARC 1.1 allows fractional seconds in WARC-Date
+    ('2017-03-06T04:03:53.405Z'). A ValueError mid-walk used to trip the
+    corrupt-tail salvage and silently drop every remaining record."""
+    rows = _rows(corpus)[:4]
+    blob = write_warc(rows, gzip_records=False)
+    # rewrite every WARC-Date to the fractional form
+    import re
+    patched = re.sub(rb"(WARC-Date: \d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})Z",
+                     rb"\g<1>.405Z", blob)
+    assert patched != blob
+    got = pages_from_warc_bytes(patched)
+    ok = got[got.error.isna()] if "error" in got.columns else got
+    assert len(ok) == len(rows)
+    assert all(ts.microsecond == 405000 for ts in ok["warc_ts"])
