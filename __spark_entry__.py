@@ -99,6 +99,50 @@ def _extract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", F.substring("error", 1, 40).alias("error_head"))
 
 
+def _crawl_corpus_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl→corpus flagship (rows-only): wrap the documents
+    table as HTML pages + inject a transitive near-dup chain, publish as
+    a WARC archive, then CDX index → digest-collapsed range fetch →
+    extraction → transitive near-dup cluster dedup → WET corpus. The
+    hard gates live in tests/test_crawl_corpus.py (seam test: indexed
+    path == full walk minus duplicates, byte-identical text per url)."""
+    import shutil
+    import tempfile
+
+    from findtextcenternet_spark.crawl import crawl_to_corpus
+    from findtextcenternet_spark.sources.cdx import build_cdx, write_cdxj
+    from findtextcenternet_spark.sources.warc import read_wet, write_warc
+
+    pages = (_wrap_documents_as_pages(spark, sf_dir)
+             .orderBy("doc_id").limit(60).toPandas())
+    rows = [{"url": r.url, "warc_ts": __import__("datetime").datetime(
+                 2026, 3, 1), "html": bytes(r.html), "text": r.text,
+             "lang": r.lang} for r in pages.itertuples()]
+    # near-dup chain: A ~ B ~ C (single-word perturbations)
+    base = str(pages["text"].iloc[0])
+    mut = base.split(" ")
+    mut[min(2, len(mut) - 1)] = "xqzzy1"
+    rows.append({**rows[0], "url": "https://docs.example.org/dup/b",
+                 "text": " ".join(mut),
+                 "html": bytes(pages["html"].iloc[0]).replace(
+                     base.encode(), " ".join(mut).encode())})
+    tmp = tempfile.mkdtemp(prefix="crawl_flagship_")
+    try:
+        warc = f"{tmp}/c-00000.warc.gz"
+        with open(warc, "wb") as f:
+            f.write(write_warc(rows))
+        write_cdxj(build_cdx(spark, warc), f"{tmp}/cdx").collect()
+        crawl_to_corpus(spark, f"{tmp}/cdx", f"{tmp}/out",
+                        input_format="cdx", near_dedup=True,
+                        wet_dir=f"{tmp}/wet", num_partitions=8)
+        out = (read_wet(spark, f"{tmp}/wet")
+               .select("url", F.length("text").alias("n_chars"))
+               .toPandas())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _extract_html_docs(spark, "/root/testdata/sf0.001")
@@ -117,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["s5_extract_html_docs"] = _extract_html_docs
     out["pipeline_extract_corpus"] = _extract_synthetic_corpus
     out["pipeline_quarantine"] = _extract_quarantine
+    out["pipeline_crawl_corpus"] = _crawl_corpus_flagship
     return out
 
 

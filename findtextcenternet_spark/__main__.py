@@ -6,6 +6,7 @@
         [--format parquet|warc|cdx] [--master local[32]] [--partitions N]
         [--run-id ID] [--streaming]
         [--index] [--cdx-mime TYPE] [--cdx-prefix SURT]
+        [--near-dedup] [--para-dedup N] [--wet-out DIR]
 
 Batch mode runs one resumable lineage-tracked extraction pass (re-invoking
 with the same OUT_DIR extracts only not-yet-done urls). ``--format warc``
@@ -23,6 +24,11 @@ shards to OUT_DIR (one task per archive, ``--partitions`` = shard
 count); later ``--format cdx`` runs extraction FROM an index, pruning by
 ``--cdx-mime`` / ``--cdx-prefix`` before any archive byte moves and
 range-fetching only the selected records (sources/cdx.py).
+
+``--near-dedup`` / ``--para-dedup N`` / ``--wet-out DIR`` chain the
+full crawl→corpus flagship (crawl.crawl_to_corpus): extraction stays
+resumable, then paragraph-grain boilerplate drop, transitive near-dup
+cluster dedup (one keeper per cluster), and a WET-shard corpus sink.
 """
 
 from __future__ import annotations
@@ -54,6 +60,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cdx-dedup", action="store_true",
                     help="with --format cdx: collapse re-captures to the "
                          "newest entry per payload digest before fetching")
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="after extraction: MinHash-LSH + Jaccard-verified "
+                         "transitive cluster dedup, keep one doc per "
+                         "cluster (crawl.crawl_to_corpus)")
+    ap.add_argument("--para-dedup", type=int, default=None, metavar="N",
+                    help="after extraction: drop paragraphs occurring "
+                         "more than N times corpus-wide (boilerplate)")
+    ap.add_argument("--wet-out", default=None, metavar="DIR",
+                    help="write the final (deduped) corpus as WET shards "
+                         "to DIR")
     args = ap.parse_args(argv)
     if args.index and args.input_format != "warc":
         ap.error("--index requires --format warc")
@@ -96,6 +112,24 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"mode": "index", "out": args.out_dir,
                           "shards": len(manifest),
                           "records": int(manifest["n_records"].sum())}))
+        if owns_session:
+            spark.stop()
+        return 0
+
+    if args.near_dedup or args.para_dedup is not None or args.wet_out:
+        # the end-to-end crawl→corpus flagship: indexed fetch → extract
+        # (resumable) → paragraph boilerplate drop → transitive near-dup
+        # cluster dedup → WET corpus, one invocation
+        from .crawl import crawl_to_corpus
+
+        summary = crawl_to_corpus(
+            spark, args.input, args.out_dir,
+            input_format=args.input_format,
+            wet_dir=args.wet_out, cdx_mime=args.cdx_mime,
+            cdx_prefix=args.cdx_prefix, near_dedup=args.near_dedup,
+            para_dedup_max=args.para_dedup,
+            num_partitions=args.partitions, run_id=args.run_id)
+        print(json.dumps({"mode": "crawl_to_corpus", **summary}))
         if owns_session:
             spark.stop()
         return 0

@@ -1,0 +1,140 @@
+"""Crawl → corpus: the end-to-end flagship a real user runs first.
+
+Chains the layers that exist separately into ONE pipeline (VERDICT r5
+item 2): CDX-indexed selective fetch (only the addressed archive bytes
+move) → resumable lineage-tracked extraction → paragraph-grain
+boilerplate drop → near-dup transitive cluster dedup (MinHash LSH →
+Jaccard verify → connected components, one canonical keeper per
+cluster) → WET shards (the format Common Crawl publishes extracted
+text in).
+
+Scale shape, stage by stage at 100 TB:
+* index fetch moves ~0.01-1% of archive bytes (range GETs), banded so a
+  hot archive never becomes a straggler (sources/cdx.py);
+* extraction is the ONE-exchange mapInPandas kernel with lineage resume
+  (lineage.run_extract) — a re-invocation extracts only missing urls;
+* dedup shuffles md5 fingerprints and band keys, never document text,
+  and the cluster step is O(log n) rounds (operators/cc.py);
+* the WET sink writes one shard per partition with no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .lineage import run_extract
+from .operators.cc import connected_components
+from .plans.training_data import (
+    drop_repeated_paragraphs,
+    lsh_verified_pairs_df,
+)
+
+
+def near_dup_clusters(docs: DataFrame, id_col: str = "url",
+                      text_col: str = "text",
+                      threshold: float = 0.5) -> DataFrame:
+    """(id, text, ...) → ``(url, keeper, cluster_size)`` — one row per
+    doc that belongs to a transitive near-dup cluster, keeper = the
+    cluster's lexicographic-min id. Ids are used directly as graph node
+    labels (no hash-to-long step, no collision risk)."""
+    ids = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    pairs = lsh_verified_pairs_df(ids, threshold=threshold)
+    return (connected_components(pairs)
+            .select(F.col("doc_id").alias(id_col),
+                    F.col("cluster_keeper").alias("keeper"),
+                    "cluster_size"))
+
+
+def near_dup_filter(docs: DataFrame, id_col: str = "url",
+                    text_col: str = "text", threshold: float = 0.5
+                    ) -> tuple[DataFrame, DataFrame]:
+    """(kept_docs, clusters): drop every cluster member except its
+    keeper; docs outside any cluster pass through untouched. The drop
+    set is an anti-join on the id — text never shuffles twice."""
+    clusters = near_dup_clusters(docs, id_col, text_col, threshold)
+    losers = (clusters.filter(F.col(id_col) != F.col("keeper"))
+              .select(id_col))
+    return docs.join(losers, id_col, "left_anti"), clusters
+
+
+def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
+                    input_format: str = "warc",
+                    wet_dir: str | None = None,
+                    cdx_mime: str | None = None,
+                    cdx_prefix: str | None = None,
+                    near_dedup: bool = True,
+                    para_dedup_max: int | None = None,
+                    num_partitions: int | None = None,
+                    run_id: str | None = None) -> dict:
+    """One invocation from crawl archives (or a CDX index) to a deduped
+    WET corpus. Returns a summary dict.
+
+    ``input_format='warc'``: full archive walk. ``'cdx'``: index-driven —
+    prune by mime/prefix, collapse re-captures to the newest entry per
+    payload digest, then range-fetch only the selected records.
+
+    Extraction goes through ``lineage.run_extract`` (same OUT_DIR →
+    resume; poison pages → quarantine). Dedup then runs over the WHOLE
+    extracted store (not just this run's docs), so an incremental crawl
+    re-dedups against everything already extracted — exactly what a
+    rolling training-data pipeline needs.
+    """
+    if input_format == "warc":
+        from .sources.warc import read_warc
+
+        pages = read_warc(spark, input_path).drop("error")
+    elif input_format == "cdx":
+        from .sources.cdx import (
+            fetch_cdx_records,
+            latest_unique_captures,
+            read_cdxj,
+        )
+
+        idx = read_cdxj(spark, input_path)
+        if cdx_mime:
+            idx = idx.filter(F.col("mime") == cdx_mime)
+        if cdx_prefix:
+            idx = idx.filter(F.col("urlkey").startswith(cdx_prefix))
+        idx = latest_unique_captures(idx)
+        pages = fetch_cdx_records(spark, idx).drop("error")
+    else:
+        pages = spark.read.parquet(input_path)
+
+    summary = run_extract(pages, out_dir, run_id=run_id,
+                          num_partitions=num_partitions)
+
+    docs = (spark.read.parquet(f"{out_dir}/docs")
+            .filter(F.col("error").isNull())
+            .select("url", "text"))
+
+    n_para_dropped = 0
+    if para_dedup_max is not None:
+        cleaned = drop_repeated_paragraphs(docs, id_col="url",
+                                           max_count=para_dedup_max)
+        n_para_dropped = int(
+            cleaned.agg(F.sum("n_dropped")).collect()[0][0] or 0)
+        docs = (cleaned.filter(F.col("clean_text").isNotNull())
+                .select("url", F.col("clean_text").alias("text")))
+
+    n_clustered = n_dropped = 0
+    if near_dedup:
+        docs, clusters = near_dup_filter(docs)
+        stats = clusters.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("url") != F.col("keeper")).cast("long"))
+            .alias("drop")).collect()[0]
+        n_clustered, n_dropped = int(stats["n"]), int(stats["drop"] or 0)
+
+    summary = {**summary, "near_dup_clustered": n_clustered,
+               "near_dup_dropped": n_dropped,
+               "paragraphs_dropped": n_para_dropped}
+    if wet_dir is not None:
+        from .sources.warc import write_wet
+
+        manifest = write_wet(docs, wet_dir).collect()
+        summary["wet_shards"] = len(manifest)
+        summary["wet_records"] = sum(r.n_records for r in manifest)
+    else:
+        summary["corpus_docs"] = docs.count()
+    return summary

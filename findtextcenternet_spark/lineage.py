@@ -301,6 +301,128 @@ class InMemoryCatalogStore(DocStore):
         return self._frame(self._quarantine)
 
 
+def iceberg_available(spark: SparkSession, catalog: str = "local") -> bool:
+    """True when an Iceberg catalog named ``catalog`` is configured AND
+    the Iceberg Spark runtime is on the classpath (a namespace probe —
+    cheap, no data). This sandbox ships neither, so the contract matrix
+    runs :class:`IcebergDocStore` behind a skip guard; on a cluster with
+    ``spark.sql.catalog.<name>`` configured the same matrix goes green
+    with zero code changes."""
+    try:
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.fcn_probe")
+        spark.sql(f"DROP NAMESPACE IF EXISTS {catalog}.fcn_probe")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergDocStore(DocStore):
+    """The production storage mapping documented on :class:`DocStore`,
+    made concrete against Spark's DataSourceV2 + an Iceberg catalog.
+
+    * ``docs`` → ``{ns}.docs`` partitioned by ``run_id``
+      (``writeTo(...).partitionedBy(col("run_id")).create()`` then
+      ``.append()`` — each append is one atomic snapshot commit);
+    * ``committed_run_ids`` → ``SELECT partition.run_id FROM
+      {ns}.docs.partitions`` — the partitions METADATA table: no file
+      listing, O(partitions) rows;
+    * ``read_run_urls`` → snapshot read with a ``run_id`` filter
+      (partition-pruned by the spec);
+    * ``_done_urls`` → ``{ns}.done`` (url + run_id; on a real deployment
+      bucket(url, 64) in the partition spec mirrors DONE_BUCKETS);
+    * ``mark_done`` → append to ``{ns}.done_marks``. Where the catalog
+      supports multi-table transactions (or a WAP branch), docs + done +
+      mark collapse into ONE commit and the healing pass degenerates to
+      a no-op check — the marks table keeps the crash-window contract
+      testable on catalogs without that.
+
+    Requires ``iceberg_available``; everything else (run_extract, resume,
+    healing) is the UNCHANGED storage-agnostic logic above DocStore.
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str) -> None:
+        self.spark = spark
+        self.ns = namespace            # e.g. "local.extract_2026_03"
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
+        self.docs_tbl = f"{namespace}.docs"
+        self.done_tbl = f"{namespace}.done"
+        self.marks_tbl = f"{namespace}.done_marks"
+        self.quarantine_tbl = f"{namespace}.quarantine"
+        self.lineage_tbl = f"{namespace}.lineage"
+
+    def _exists(self, tbl: str) -> bool:
+        return self.spark.catalog.tableExists(tbl)
+
+    def _append(self, df: DataFrame, tbl: str, partition: str | None = None
+                ) -> None:
+        if self._exists(tbl):
+            df.writeTo(tbl).append()
+            return
+        w = df.writeTo(tbl).using("iceberg")
+        if partition:
+            w = w.partitionedBy(F.col(partition))
+        w.create()
+
+    def docs_nonempty(self) -> bool:
+        return bool(self.committed_run_ids())
+
+    def done_nonempty(self) -> bool:
+        return (self._exists(self.done_tbl)
+                and bool(self.spark.table(self.done_tbl).head(1)))
+
+    def committed_run_ids(self) -> set[str]:
+        if not self._exists(self.docs_tbl):
+            return set()
+        rows = self.spark.sql(
+            f"SELECT DISTINCT partition.run_id AS run_id "
+            f"FROM {self.docs_tbl}.partitions").collect()
+        return {r["run_id"] for r in rows}
+
+    def has_legacy_flat_docs(self) -> bool:
+        return False        # a catalog has no pre-catalog layout
+
+    def read_done(self) -> DataFrame:
+        return self.spark.table(self.done_tbl)
+
+    def read_run_urls(self, run_id: str) -> DataFrame:
+        return (self.spark.table(self.docs_tbl)
+                .filter(F.col("run_id") == run_id).select("url"))
+
+    def read_legacy_urls(self) -> DataFrame:
+        raise AssertionError("catalog store has no legacy layout")
+
+    def append_docs(self, df: DataFrame) -> None:
+        self._append(df, self.docs_tbl, partition="run_id")
+
+    def append_done(self, urls: DataFrame) -> None:
+        self._append(urls.repartition(DONE_BUCKETS, "url"), self.done_tbl)
+
+    def mark_done(self, run_ids: list[str]) -> None:
+        if not run_ids:
+            return
+        df = self.spark.createDataFrame([(r,) for r in run_ids],
+                                        "run_id string")
+        self._append(df, self.marks_tbl)
+
+    def done_run_ids(self) -> set[str]:
+        if not self._exists(self.marks_tbl):
+            return set()
+        return {r["run_id"]
+                for r in self.spark.table(self.marks_tbl).collect()}
+
+    def append_quarantine(self, df: DataFrame) -> None:
+        self._append(df, self.quarantine_tbl)
+
+    def append_lineage(self, df: DataFrame) -> None:
+        self._append(df, self.lineage_tbl)
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.table(self.lineage_tbl)
+
+    def read_quarantine(self) -> DataFrame:
+        return self.spark.table(self.quarantine_tbl)
+
+
 def _settled_urls(store: DocStore, heal: bool) -> DataFrame | None:
     """Urls already settled in the output — extracted OR quarantined (a
     poison page is quarantined exactly once per output directory, never

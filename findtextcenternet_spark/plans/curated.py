@@ -8,7 +8,7 @@ relational demos into merged entries — each merged query UNIONs its legs
 into a common generic schema ``(part, k1..kK string, v1..vV double)`` with
 the leg name as the ``part`` tag, and its oracle UNION ALLs the legs' SQL
 with identical casts — so every leg's full row set stays hash-checked
-while the entry count drops to exactly 50 (47 here + 3 pipeline entries
+while the entry count drops to exactly 50 (46 here + 4 pipeline entries
 added by ``__spark_entry__``).
 
 Casting discipline (both engines must render values identically):
@@ -75,6 +75,13 @@ LEGS: dict[str, list[tuple[str, str]]] = {
                                ("n_other_space", "d")],
     "f8_script_class": [("doc_id", "s"), ("has_ascii", "s"),
                         ("has_cjk", "s"), ("has_hangul", "s")],
+    "dedup_lsh_verified": [("doc_a", "s"), ("doc_b", "s"),
+                           ("jaccard", "d")],
+    "dedup_clusters": [("doc_id", "s"), ("cluster_keeper", "s"),
+                       ("cluster_size", "d")],
+    "dedup_exact": [("fp", "s"), ("keeper", "s"), ("n_dups", "d")],
+    "dedup_paragraph": [("doc_id", "s"), ("clean_text", "s"),
+                        ("n_dropped", "d")],
 }
 
 # merged entry name → leg names (each leg keeps full-row hash coverage)
@@ -93,10 +100,15 @@ MERGES: list[tuple[str, list[str]]] = [
     ("u1_u2_u3_set_ops", ["u1_union_dedup", "u2_anti_join",
                           "u3_union_all"]),
     ("f2_f3_codepoint_math", ["f2_crt_reconstruct", "f3_codepoint_guard"]),
-    ("f4_f5_f7_f9_text_funcs", ["f4_ruby_decode", "f5_ruby_html_encode",
-                                "f7_space_normalize",
-                                "f9_utf32_codepoints"]),
-    ("f6_f8_charclass", ["f6_whitespace_classify", "f8_script_class"]),
+    # r6: f6/f8 folded in here to free one driver slot for the crawl
+    # pipeline entry (each leg keeps its full-row hash coverage)
+    ("f4_f9_text_charclass", ["f4_ruby_decode", "f5_ruby_html_encode",
+                              "f7_space_normalize", "f9_utf32_codepoints",
+                              "f6_whitespace_classify", "f8_script_class"]),
+    # r6: the near-dup finish line — LSH-verified pairs + their transitive
+    # clusters; and exact dedup + paragraph-grain dedup
+    ("dedup_pairs_clusters", ["dedup_lsh_verified", "dedup_clusters"]),
+    ("dedup_exact_paragraph", ["dedup_exact", "dedup_paragraph"]),
 ]
 
 
@@ -153,7 +165,7 @@ def _mk_sql(leg_names: list[str], base) -> str:
 
 
 def curated_registry():
-    """Full operator coverage in 47 entries (+3 pipeline = the driver's
+    """Full operator coverage in 46 entries (+4 pipeline = the driver's
     50-row window): merged relational demos + standalone relational +
     multimodal + training-data ops."""
     from . import full_registry

@@ -71,13 +71,12 @@ def _minhash_sql() -> str:
     return f"WITH sh_t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)\nSELECT doc_id, {sig} FROM sh_t"
 
 
-@register("dedup_minhash_signature", _minhash_sql())
-def dedup_minhash_signature(spark, sf_dir):
-    """MinHash signatures: 8 permutations as min(md5(salt||shingle)).
-
-    shingle → minhash entirely with array expressions (JVM-side); no
-    explode, so a document never leaves its row until the band join."""
-    df = _with_shingles(_t(spark, sf_dir, "documents"))
+def minhash_signature_df(docs):
+    """MinHash signatures over any (doc_id, text) frame: 8 permutations
+    as min(md5(salt||shingle)), entirely with array expressions
+    (JVM-side); no explode, so a document never leaves its row until the
+    band join."""
+    df = _with_shingles(docs)
     cols = [
         F.array_min(F.expr(
             f"transform(sh, s -> md5(cast(concat('{p}|', s) as binary)))"
@@ -85,6 +84,12 @@ def dedup_minhash_signature(spark, sf_dir):
         for p in range(_N_PERM)
     ]
     return df.select("doc_id", *cols)
+
+
+@register("dedup_minhash_signature", _minhash_sql())
+def dedup_minhash_signature(spark, sf_dir):
+    """MinHash signatures over the documents table (minhash_signature_df)."""
+    return minhash_signature_df(_t(spark, sf_dir, "documents"))
 
 
 def _band_sql() -> str:
@@ -179,11 +184,13 @@ pairs AS (
     ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id)"""
 
 
-def _lsh_candidate_pairs(spark, sf_dir):
-    """LSH banding → distinct candidate (doc_a, doc_b) pairs — the only
-    pair generator any near-dup verify step is allowed to consume (the
-    plan guard in tests/test_plans.py bans cartesian shapes)."""
-    sig = dedup_minhash_signature(spark, sf_dir)
+def lsh_candidate_pairs_df(docs):
+    """DataFrame-level LSH banding over any (doc_id, text) frame →
+    distinct candidate (doc_a, doc_b) pairs — the only pair generator
+    any near-dup verify step is allowed to consume (the plan guard in
+    tests/test_plans.py bans cartesian shapes). Shared by the sf-table
+    registry entry and the crawl→corpus pipeline."""
+    sig = minhash_signature_df(docs)
     bands = F.array(*[
         F.struct(F.lit(bb).alias("band"),
                  F.concat(F.col(f"m{2*bb}"), F.col(f"m{2*bb+1}"))
@@ -200,6 +207,27 @@ def _lsh_candidate_pairs(spark, sf_dir):
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("c.doc_id").alias("doc_b"))
             .distinct())
+
+
+def _lsh_candidate_pairs(spark, sf_dir):
+    return lsh_candidate_pairs_df(_t(spark, sf_dir, "documents"))
+
+
+def lsh_verified_pairs_df(docs, threshold: float = 0.5):
+    """LSH candidates verified by exact shingle-set Jaccard, over any
+    (doc_id, text) frame."""
+    pairs = lsh_candidate_pairs_df(docs)
+    sh = (_with_shingles(docs)
+          .select("doc_id", F.array_distinct("sh").alias("sh")))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("_jac", jac)
+            .filter(F.col("_jac") >= threshold)
+            .select("doc_a", "doc_b", F.round("_jac", 4).alias("jaccard")))
 
 
 @register("dedup_ngram_jaccard", """
@@ -600,7 +628,7 @@ def token_count_bpe(spark, sf_dir):
                     .alias("n_ws_tokens")))
 
 
-@register("dedup_lsh_verified", """
+_LSH_VERIFIED_SQL = """
 WITH sh_t AS (SELECT doc_id, """ + _SHINGLES_SQL + """ AS sh FROM documents),
 sig AS (SELECT doc_id, """ + ", ".join(
     f"list_min([md5('{p}|' || s) for s in sh]) AS m{p}"
@@ -623,21 +651,112 @@ v AS (
     ON sb.doc_id = p.doc_b)
 SELECT doc_a, doc_b, round(jac, 4) AS jaccard
 FROM v WHERE jac >= 0.5
-""")
+"""
+
+
+@register("dedup_lsh_verified", _LSH_VERIFIED_SQL)
 def dedup_lsh_verified(spark, sf_dir):
     """The production near-dup flow end to end: LSH banding proposes
     candidate pairs (cheap, one shuffle on band_key), exact shingle-set
     Jaccard verifies them (expensive, but only on the candidates). At
     100 TB the verify join touches ~0.01% of the pair space."""
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
-    sh = (_with_shingles(_t(spark, sf_dir, "documents"))
-          .select("doc_id", F.array_distinct("sh").alias("sh")))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter.cast("double") / union
-    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("_jac", jac)
-            .filter(F.col("_jac") >= 0.5)
-            .select("doc_a", "doc_b", F.round("_jac", 4).alias("jaccard")))
+    return lsh_verified_pairs_df(_t(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------- transitive duplicate clusters
+
+@register("dedup_clusters", """
+WITH RECURSIVE pr AS (""" + _LSH_VERIFIED_SQL + """),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+walk(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+lab AS (SELECT u AS doc_id, min(lbl) AS cluster_keeper FROM walk GROUP BY u)
+SELECT doc_id, cluster_keeper,
+       count(*) OVER (PARTITION BY cluster_keeper) AS cluster_size
+FROM lab
+""")
+def dedup_clusters(spark, sf_dir):
+    """The finish line of near-dup: LSH+verify emits PAIRS, but one doc
+    can bridge two LSH buckets — the duplicate CLUSTER is the connected
+    component of the pair graph, and each cluster keeps exactly one
+    canonical doc (the min doc_id). Alternating large-star/small-star
+    (operators/cc.py): O(log n) rounds of two groupBy-min shuffles, no
+    per-edge driver work, lineage truncated per round. The DuckDB oracle
+    computes the same transitive closure with a recursive CTE."""
+    from ..operators.cc import connected_components
+
+    pairs = dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+# --------------------------------------------- paragraph-grain dedup
+
+def drop_repeated_paragraphs(docs, id_col: str = "url",
+                             text_col: str = "text", sep: str = "\n",
+                             max_count: int = 1):
+    """Corpus-wide paragraph-grain dedup: split ``text_col`` on ``sep``,
+    fingerprint each paragraph, drop every paragraph whose corpus-wide
+    occurrence count exceeds ``max_count`` (boilerplate that survives
+    extraction — shared footers, nav strings, cookie banners), and
+    reassemble the remaining paragraphs in document order.
+
+    Scale shape: ONE shuffle on the 32-byte md5 fingerprint (never the
+    paragraph text) for the count, one fingerprint-keyed join back, one
+    groupBy(id) for reassembly. Returns (id_col, clean_text, n_dropped);
+    clean_text is NULL when every paragraph was boilerplate."""
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
+    paras = paras.withColumn("fp", F.md5(F.encode("para", "utf-8")))
+    counts = paras.groupBy("fp").agg(F.count("*").alias("_n"))
+    keep = F.col("_n") <= max_count
+    joined = paras.join(counts, "fp")
+    kept_struct = F.when(keep, F.struct("pos", "para"))
+    return (joined.groupBy(id_col)
+            .agg(F.nullif(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(kept_struct)),
+                            lambda x: x["para"]),
+                        sep),
+                    F.lit("")).alias("clean_text"),
+                 F.sum(F.when(keep, 0).otherwise(1)).alias("n_dropped")))
+
+
+_PARA_WORDS = 3      # pseudo-paragraph grain over the single-line fixture
+_PARA_MAX_N = 3      # corpus-wide occurrence threshold
+
+
+@register("dedup_paragraph", f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (SELECT doc_id, i AS pos,
+             array_to_string(ws[i:i+{_PARA_WORDS - 1}], ' ') AS para
+      FROM w, unnest(generate_series(1, len(ws), {_PARA_WORDS})) AS u(i)),
+c AS (SELECT para, count(*) AS n FROM p GROUP BY para)
+SELECT p.doc_id,
+       string_agg(CASE WHEN c.n <= {_PARA_MAX_N} THEN p.para END,
+                  chr(10) ORDER BY p.pos) AS clean_text,
+       CAST(sum(CASE WHEN c.n > {_PARA_MAX_N} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+FROM p JOIN c USING (para)
+GROUP BY p.doc_id
+""")
+def dedup_paragraph(spark, sf_dir):
+    """Paragraph-grain dedup over the documents table. Real pipelines
+    dedup paragraphs/lines ACROSS documents (boilerplate that survives
+    extraction), not just whole docs. The synthetic fixture is
+    single-line, so 'paragraphs' here are deterministic 3-word chunks
+    (identical chunking in both engines); the text-grain entry point for
+    real corpora is :func:`drop_repeated_paragraphs` (newline-separated,
+    used by the crawl pipeline and the golden footer test)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(ws), F.lit(_PARA_WORDS)),
+        lambda i: F.array_join(F.slice(ws, i, _PARA_WORDS), " "))
+    pseudo = docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+    return drop_repeated_paragraphs(pseudo, id_col="doc_id",
+                                    max_count=_PARA_MAX_N)

