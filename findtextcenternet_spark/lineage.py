@@ -32,10 +32,15 @@ degenerates to snapshot membership.
 
 Storage seam: all physical I/O goes through :class:`DocStore`.
 :class:`ParquetDirStore` is the sandbox implementation (parquet
-directories, partition dirs as commit markers); on Iceberg the same
-methods map to snapshot reads, partition metadata (``committed_run_ids``
-is a metadata-table query, no listing), and atomic multi-table commits —
-in which case the healing pass becomes a cheap no-op check.
+directories, partition dirs as commit markers);
+:class:`InMemoryCatalogStore` proves the logic is directory-free; and
+:class:`IcebergDocStore` is the production mapping made concrete —
+snapshot reads, partition metadata (``committed_run_ids`` is a
+metadata-table query, no listing), one snapshot commit per append (and,
+where the catalog supports multi-table transactions, the healing pass
+becomes a cheap no-op check). The resume/healing contract matrix
+(tests/test_lineage_stores.py) is written once and parameterized over
+the catalog-style stores.
 """
 
 from __future__ import annotations
