@@ -703,27 +703,38 @@ def drop_repeated_paragraphs(docs, id_col: str = "url",
     extraction — shared footers, nav strings, cookie banners), and
     reassemble the remaining paragraphs in document order.
 
-    Scale shape: ONE shuffle on the 32-byte md5 fingerprint (never the
-    paragraph text) for the count, one fingerprint-keyed join back, one
-    groupBy(id) for reassembly. Returns (id_col, clean_text, n_dropped);
-    clean_text is NULL when every paragraph was boilerplate."""
-    paras = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
-    paras = paras.withColumn("fp", F.md5(F.encode("para", "utf-8")))
-    counts = paras.groupBy("fp").agg(F.count("*").alias("_n"))
-    keep = F.col("_n") <= max_count
-    joined = paras.join(counts, "fp")
-    kept_struct = F.when(keep, F.struct("pos", "para"))
-    return (joined.groupBy(id_col)
-            .agg(F.nullif(
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(kept_struct)),
-                            lambda x: x["para"]),
-                        sep),
-                    F.lit("")).alias("clean_text"),
-                 F.sum(F.when(keep, 0).otherwise(1)).alias("n_dropped")))
+    Scale shape — paragraph TEXT never enters an exchange: the count
+    shuffles only (id, pos, md5) metadata rows on the 32-byte
+    fingerprint; the join back to counts is metadata-only too; and the
+    per-doc drop-position lists (tiny — only BOILERPLATE positions, not
+    every paragraph) join back to the docs, where the text is re-split
+    in place and positions filtered map-side. So the document text
+    crosses the wire at most once (the drop-list join; AQE broadcasts
+    the drop lists when they fit), versus twice (fp join + reassembly
+    groupBy) for the naive explode-join-regroup plan.
+
+    Returns (id_col, clean_text, n_dropped); clean_text is NULL when
+    every paragraph was boilerplate."""
+    meta = (docs.select(
+                F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), sep))
+                .alias("pos", "para"))
+            .select(id_col, "pos",
+                    F.md5(F.encode("para", "utf-8")).alias("fp")))
+    hot = (meta.groupBy("fp").agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") > max_count).select("fp"))
+    drops = (meta.join(hot, "fp")
+             .groupBy(id_col)
+             .agg(F.collect_list("pos").alias("_drop_pos")))
+    ws = F.split(F.col(text_col), sep)
+    drop_pos = F.coalesce(F.col("_drop_pos"),
+                          F.array().cast("array<int>"))
+    kept = F.filter(ws, lambda w, i: ~F.array_contains(drop_pos, i))
+    return (docs.join(drops, id_col, "left")
+            .select(F.col(id_col),
+                    F.nullif(F.array_join(kept, sep), F.lit(""))
+                    .alias("clean_text"),
+                    F.size(drop_pos).cast("long").alias("n_dropped")))
 
 
 _PARA_WORDS = 3      # pseudo-paragraph grain over the single-line fixture

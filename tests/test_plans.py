@@ -218,3 +218,51 @@ def test_heavy_dedup_queries_avoid_cartesian(spark, reg):
         plan = _plan(spark, reg, name)
         assert "CartesianProduct" not in plan, f"{name} goes quadratic"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} nested-loops"
+
+
+def test_paragraph_dedup_never_shuffles_text(spark):
+    """drop_repeated_paragraphs' scale contract: document/paragraph TEXT
+    never enters an exchange — the fingerprint count and the drop-position
+    aggregation shuffle metadata only, and the text is re-split map-side
+    after the drop-list join. A naive explode-join-regroup plan would
+    shuffle every paragraph's text twice; this gate pins the fixed plan."""
+    import pandas as pd
+
+    from findtextcenternet_spark.plans.training_data import (
+        drop_repeated_paragraphs,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "url": [f"u{i}" for i in range(8)],
+        "text": [f"unique {i}\nshared footer" for i in range(8)],
+    }))
+    out = drop_repeated_paragraphs(docs, max_count=1)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    # every shuffle/broadcast input schema must be free of text columns
+    for line in phys.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line and "para#" not in line, line
+    # and the output is still right
+    got = {r.url: (r.clean_text, r.n_dropped) for r in out.collect()}
+    assert got == {f"u{i}": (f"unique {i}", 1) for i in range(8)}
+
+
+def test_cc_rounds_are_bounded_shuffles(spark):
+    """Connected components: each round is groupBy-min + join — no
+    cartesian, no per-edge driver work, lineage truncated per round (the
+    round-N plan must NOT contain round N-1's operators)."""
+    import pandas as pd
+
+    from findtextcenternet_spark.operators.cc import cc_edges
+
+    pairs = spark.createDataFrame(pd.DataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (3, 4)],
+        columns=["doc_a", "doc_b"]).astype("int64"))
+    star, rounds = cc_edges(pairs)
+    phys = star._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    # localCheckpoint truncation: the final frame's plan is a scan of the
+    # checkpointed RDD, not `rounds` stacked joins
+    assert phys.count("SortMergeJoin") + phys.count("BroadcastHashJoin") \
+        == 0, phys
