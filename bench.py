@@ -31,6 +31,8 @@ HEADLINE = [
     "dedup_exact",            # hash-groupBy dedup
     "dedup_minhash_lsh",      # shingle→minhash→band→bucket
     "dedup_simhash",          # bitwise fingerprint
+    "dedup_clusters",         # LSH pairs → connected components (r6)
+    "dedup_paragraph",        # corpus-wide boilerplate drop (r6)
     "ann_cosine_topk",        # brute-force cosine top-k
     "ann_lsh_buckets",        # hyperplane LSH bucketing
     "lang_id",                # n-gram/stopword language ID

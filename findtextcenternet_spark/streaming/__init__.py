@@ -1,4 +1,5 @@
 from .jobs import (  # noqa: F401
+    stream_dedup_exact,
     stream_extract_html,
     stream_extract_warc,
     stream_index_warc,

@@ -222,3 +222,26 @@ def stream_welford_by_lang(spark: SparkSession, input_dir: str):
             .applyInPandasWithState(_welford_update, _WELFORD_OUT,
                                     _WELFORD_STATE, "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def stream_dedup_exact(spark: SparkSession, input_dir: str,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: the first capture of each payload digest
+    passes through, every later re-capture inside the watermark horizon
+    is dropped (``dropDuplicatesWithinWatermark`` — Spark's stateful
+    dedup operator with bounded state).
+
+    Scale shape: state is one entry per DISTINCT digest seen within the
+    watermark horizon — the streaming analogue of ``dedup_exact``'s
+    hash-groupBy, and the incremental form of the CDX pipeline's
+    digest collapse (``latest_unique_captures``). An unbounded crawl
+    needs the horizon: without a watermark the dedup map grows with the
+    whole corpus; with one, cross-horizon re-captures fall to the batch
+    near-dup pass downstream (``crawl.near_dup_filter``), which is
+    exactly the two-tier layout real crawl pipelines use."""
+    pages = read_pages_stream(spark, input_dir)
+    fp = F.md5(F.coalesce(
+        F.col("html"), F.encode(F.coalesce("text", F.lit("")), "utf-8")))
+    return (pages.withColumn("fp", fp)
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["fp"]))

@@ -117,3 +117,36 @@ def test_stream_sessionize(spark, pages_dir, tmp_path):
         "SELECT count(*) AS n FROM sess WHERE sess.end <= sess.start"
     ).collect()[0]["n"]
     assert bad == 0
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming digest dedup: first capture of each payload passes, the
+    byte-identical re-capture (different url, later ts) is dropped;
+    distinct payloads all survive. Bounded state via
+    dropDuplicatesWithinWatermark."""
+    import pandas as pd
+
+    from findtextcenternet_spark.streaming import stream_dedup_exact
+
+    pdf = generate_pages(40)
+    dup = pdf.iloc[:5].copy()
+    dup["url"] = dup["url"] + "?mirror"          # same bytes, new url
+    dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(minutes=5)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    kw = dict(index=False, coerce_timestamps="us",
+              allow_truncated_timestamps=True)
+    pdf.to_parquet(os.path.join(d, "a.parquet"), **kw)
+    dup.to_parquet(os.path.join(d, "b.parquet"), **kw)
+
+    out = stream_dedup_exact(spark, d)
+    q = (out.writeStream.format("memory").queryName("dd")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url, fp FROM dd").toPandas()
+    assert len(got) == 40                         # all dups dropped
+    assert got["fp"].nunique() == 40              # one row per payload
+    # exactly one of each (original, mirror) pair survived
+    assert int(got["url"].str.endswith("?mirror").sum()) <= 5
