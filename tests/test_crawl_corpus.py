@@ -144,3 +144,23 @@ def test_cli_crawl_to_corpus(tmp_path, crawl_fixture):
     # mirror ALSO falls to the near-dup pass: dupB, dupC, mirror
     assert summary["near_dup_dropped"] == 3
     assert summary["wet_records"] == 21   # 24 captures - 3 near-dup losers
+
+
+def test_crawl_to_corpus_resume(spark, tmp_path, crawl_fixture):
+    """Re-invoking the flagship with the same out_dir extracts ZERO new
+    docs (lineage resume) but still produces the full deduped corpus —
+    dedup runs over the whole extracted store, so an incremental crawl
+    re-dedups against everything already extracted."""
+    warc = tmp_path / "c.warc.gz"
+    warc.write_bytes(write_warc(crawl_fixture))
+    s1 = crawl_to_corpus(spark, str(warc), str(tmp_path / "out"),
+                         input_format="warc", near_dedup=True,
+                         wet_dir=str(tmp_path / "wet1"))
+    s2 = crawl_to_corpus(spark, str(warc), str(tmp_path / "out"),
+                         input_format="warc", near_dedup=True,
+                         wet_dir=str(tmp_path / "wet2"))
+    assert s1["n_docs"] == 24 and s2["n_docs"] == 0    # resume: no re-extract
+    assert s1["wet_records"] == s2["wet_records"] == 21
+    a = read_wet(spark, str(tmp_path / "wet1")).toPandas()
+    b = read_wet(spark, str(tmp_path / "wet2")).toPandas()
+    assert sorted(a["url"]) == sorted(b["url"])
