@@ -201,6 +201,16 @@ def write_bench_md(summary, n_docs: int) -> None:
     if os.path.exists(ab_path):
         with open(ab_path) as f:
             ab_section = f.read().rstrip() + "\n\n"
+    # round-note sections (steady-state confirmations etc.) survive the
+    # same way — BENCH_NOTES.md is re-included verbatim after the table
+    notes_path = os.path.join(REPO, "BENCH_NOTES.md")
+    notes_section = ""
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            body = f.read()
+            if "-->" in body:                 # drop the header comment
+                body = body.split("-->", 1)[1]
+            notes_section = "\n" + body.strip() + "\n"
     control = summary.get("control", {})
     rows = []
     for m in (headline, raster, mixed):
@@ -289,7 +299,7 @@ Rows, top = headline:
 
 Target ≥ 0.8 (BASELINE.json north_rule). Measured {summary['date']};
 reproduce with `python scripts/scaling_bench.py {n_docs}`.
-
+{notes_section}
 ## Projection to the 10^12-document corpus
 
 Measured per-core steady-state throughput on the compute-representative
