@@ -8,6 +8,11 @@ Jaccard verify → connected components, one canonical keeper per
 cluster) → WET shards (the format Common Crawl publishes extracted
 text in).
 
+Reference analogue: the repo's own training-data harvest loop
+(train_data3/make_data.py and get_aozora.py — fetch, extract, save) is
+the single-machine form of exactly this flow; it has no index, no dedup
+and no resume, which is what corpus scale adds here.
+
 Scale shape, stage by stage at 100 TB:
 * index fetch moves ~0.01-1% of archive bytes (range GETs), banded so a
   hot archive never becomes a straggler (sources/cdx.py);
@@ -66,7 +71,8 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
                     near_dedup: bool = True,
                     para_dedup_max: int | None = None,
                     num_partitions: int | None = None,
-                    run_id: str | None = None) -> dict:
+                    run_id: str | None = None,
+                    store=None) -> dict:
     """One invocation from crawl archives (or a CDX index) to a deduped
     WET corpus. Returns a summary dict.
 
@@ -101,10 +107,15 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
     else:
         pages = spark.read.parquet(input_path)
 
-    summary = run_extract(pages, out_dir, run_id=run_id,
-                          num_partitions=num_partitions)
+    from .lineage import ParquetDirStore
 
-    docs = (spark.read.parquet(f"{out_dir}/docs")
+    store = store or ParquetDirStore(spark, out_dir)
+    summary = run_extract(pages, out_dir, run_id=run_id,
+                          num_partitions=num_partitions, store=store)
+
+    # corpus-wide post-passes read the WHOLE committed store through the
+    # storage seam (snapshot read on a catalog, dir read on parquet)
+    docs = (store.read_docs()
             .filter(F.col("error").isNull())
             .select("url", "text"))
 

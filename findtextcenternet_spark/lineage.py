@@ -114,6 +114,11 @@ class DocStore:
     def append_docs(self, df: DataFrame) -> None:
         raise NotImplementedError
 
+    def read_docs(self) -> DataFrame:
+        """Every committed doc row across all runs (snapshot read) — the
+        input of corpus-wide post-passes (dedup, WET publication)."""
+        raise NotImplementedError
+
     def append_done(self, urls: DataFrame) -> None:
         """urls: (url, run_id) frame, appended bucket-clustered."""
         raise NotImplementedError
@@ -194,6 +199,9 @@ class ParquetDirStore(DocStore):
 
     def append_docs(self, df: DataFrame) -> None:
         df.write.mode("append").partitionBy("run_id").parquet(self.docs_dir)
+
+    def read_docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.docs_dir)
 
     def append_done(self, urls: DataFrame) -> None:
         (urls.repartition(DONE_BUCKETS, "url")
@@ -283,6 +291,9 @@ class InMemoryCatalogStore(DocStore):
         for rid, rs in by_run.items():
             old = self._docs.get(rid)
             self._docs[rid] = (schema, (old[1] if old else []) + rs)
+
+    def read_docs(self) -> DataFrame:
+        return self._frame(list(self._docs.values()))
 
     def append_done(self, urls: DataFrame) -> None:
         self._done.append(self._collect(urls))
@@ -398,6 +409,9 @@ class IcebergDocStore(DocStore):
 
     def append_docs(self, df: DataFrame) -> None:
         self._append(df, self.docs_tbl, partition="run_id")
+
+    def read_docs(self) -> DataFrame:
+        return self.spark.table(self.docs_tbl)
 
     def append_done(self, urls: DataFrame) -> None:
         self._append(urls.repartition(DONE_BUCKETS, "url"), self.done_tbl)

@@ -164,3 +164,24 @@ def test_crawl_to_corpus_resume(spark, tmp_path, crawl_fixture):
     a = read_wet(spark, str(tmp_path / "wet1")).toPandas()
     b = read_wet(spark, str(tmp_path / "wet2")).toPandas()
     assert sorted(a["url"]) == sorted(b["url"])
+
+
+def test_crawl_to_corpus_through_catalog_store(spark, tmp_path,
+                                               crawl_fixture):
+    """The flagship runs UNCHANGED through a catalog-style DocStore
+    (storage seam: the dedup post-pass reads committed docs via
+    store.read_docs(), not a parquet path)."""
+    from findtextcenternet_spark.lineage import InMemoryCatalogStore
+
+    warc = tmp_path / "c.warc.gz"
+    warc.write_bytes(write_warc(crawl_fixture))
+    store = InMemoryCatalogStore(spark)
+    s = crawl_to_corpus(spark, str(warc), str(tmp_path / "out"),
+                        input_format="warc", near_dedup=True,
+                        wet_dir=str(tmp_path / "wet"), store=store)
+    assert s["n_docs"] == 24
+    assert s["near_dup_dropped"] == 3
+    assert s["wet_records"] == 21
+    # nothing was written to the parquet docs dir — the store took it
+    import os
+    assert not os.path.isdir(tmp_path / "out" / "docs")
