@@ -79,11 +79,14 @@ def cc_edges(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
     # (least/greatest/min are lexicographic there — still a total order,
     # so the keeper is deterministic and no hash-to-long collision risk)
     e = _norm(pairs.select(F.col(a).alias("a"), F.col(b).alias("b")))
-    e = e.localCheckpoint()
+    # lazy localCheckpoint: the fingerprint action right after is what
+    # materializes it, so each round costs ONE Spark job (eager=True
+    # would pay a second, redundant materialization job per round)
+    e = e.localCheckpoint(eager=False)
     fp = _fingerprint(e)
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         nfp = _fingerprint(e)
         if nfp == fp:
             break
