@@ -118,14 +118,18 @@ def _crawl_corpus_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [{"url": r.url, "warc_ts": __import__("datetime").datetime(
                  2026, 3, 1), "html": bytes(r.html), "text": r.text,
              "lang": r.lang} for r in pages.itertuples()]
-    # near-dup chain: A ~ B ~ C (single-word perturbations)
+    # near-dup chain: A ~ B ~ C (single-word perturbations; A and C
+    # differ by TWO words, so only transitivity links them)
     base = str(pages["text"].iloc[0])
-    mut = base.split(" ")
-    mut[min(2, len(mut) - 1)] = "xqzzy1"
-    rows.append({**rows[0], "url": "https://docs.example.org/dup/b",
-                 "text": " ".join(mut),
-                 "html": bytes(pages["html"].iloc[0]).replace(
-                     base.encode(), " ".join(mut).encode())})
+    mut_b = base.split(" ")
+    mut_b[min(2, len(mut_b) - 1)] = "xqzzy1"
+    mut_c = list(mut_b)
+    mut_c[min(40, len(mut_c) - 1)] = "xqzzy2"
+    for tag, words in (("b", mut_b), ("c", mut_c)):
+        rows.append({**rows[0], "url": f"https://docs.example.org/dup/{tag}",
+                     "text": " ".join(words),
+                     "html": bytes(pages["html"].iloc[0]).replace(
+                         base.encode(), " ".join(words).encode())})
     tmp = tempfile.mkdtemp(prefix="crawl_flagship_")
     try:
         warc = f"{tmp}/c-00000.warc.gz"

@@ -73,6 +73,20 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.index and args.input_format != "warc":
         ap.error("--index requires --format warc")
+    corpus_flags = (args.near_dedup or args.para_dedup is not None
+                    or args.wet_out)
+    if corpus_flags and args.streaming:
+        ap.error("--near-dedup/--para-dedup/--wet-out are corpus-wide "
+                 "batch passes; they cannot combine with --streaming "
+                 "(run the batch flagship over the streamed-out docs "
+                 "instead)")
+    if corpus_flags and args.index:
+        ap.error("--index only builds the CDX index; combine the corpus "
+                 "flags with --format cdx on a second invocation")
+    if args.cdx_dedup and corpus_flags:
+        ap.error("--cdx-dedup is implied by the crawl-to-corpus path "
+                 "(it always collapses re-captures per digest); drop "
+                 "the flag")
 
     from pyspark.sql import SparkSession
 

@@ -112,6 +112,14 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
     store = store or ParquetDirStore(spark, out_dir)
     summary = run_extract(pages, out_dir, run_id=run_id,
                           num_partitions=num_partitions, store=store)
+    summary = {**summary, "near_dup_clustered": 0, "near_dup_dropped": 0,
+               "paragraphs_dropped": 0}
+
+    # an input filter can legitimately select NOTHING (e.g. a mime with
+    # no captures) — an empty store has no post-passes to run
+    if not store.docs_nonempty():
+        summary["wet_shards"] = summary["wet_records"] = 0
+        return summary
 
     # corpus-wide post-passes read the WHOLE committed store through the
     # storage seam (snapshot read on a catalog, dir read on parquet)
@@ -119,33 +127,38 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
             .filter(F.col("error").isNull())
             .select("url", "text"))
 
-    n_para_dropped = 0
     if para_dedup_max is not None:
         cleaned = drop_repeated_paragraphs(docs, id_col="url",
                                            max_count=para_dedup_max)
-        n_para_dropped = int(
-            cleaned.agg(F.sum("n_dropped")).collect()[0][0] or 0)
         docs = (cleaned.filter(F.col("clean_text").isNotNull())
                 .select("url", F.col("clean_text").alias("text")))
-
-    n_clustered = n_dropped = 0
-    if near_dedup:
-        docs, clusters = near_dup_filter(docs)
-        stats = clusters.agg(
-            F.count("*").alias("n"),
-            F.sum((F.col("url") != F.col("keeper")).cast("long"))
-            .alias("drop")).collect()[0]
-        n_clustered, n_dropped = int(stats["n"]), int(stats["drop"] or 0)
-
-    summary = {**summary, "near_dup_clustered": n_clustered,
-               "near_dup_dropped": n_dropped,
-               "paragraphs_dropped": n_para_dropped}
-    if wet_dir is not None:
-        from .sources.warc import write_wet
-
-        manifest = write_wet(docs, wet_dir).collect()
-        summary["wet_shards"] = len(manifest)
-        summary["wet_records"] = sum(r.n_records for r in manifest)
+        # pin the cleaned frame: the n_dropped agg, the LSH/cluster pass
+        # and the WET write would otherwise each re-run the corpus-wide
+        # paragraph pass — three full passes over the store
+        pinned = docs = docs.persist()
+        summary["paragraphs_dropped"] = int(
+            cleaned.agg(F.sum("n_dropped")).collect()[0][0] or 0)
     else:
-        summary["corpus_docs"] = docs.count()
+        pinned = docs = docs.persist()
+
+    try:
+        if near_dedup:
+            docs, clusters = near_dup_filter(docs)
+            stats = clusters.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("url") != F.col("keeper")).cast("long"))
+                .alias("drop")).collect()[0]
+            summary["near_dup_clustered"] = int(stats["n"])
+            summary["near_dup_dropped"] = int(stats["drop"] or 0)
+
+        if wet_dir is not None:
+            from .sources.warc import write_wet
+
+            manifest = write_wet(docs, wet_dir).collect()
+            summary["wet_shards"] = len(manifest)
+            summary["wet_records"] = sum(r.n_records for r in manifest)
+        else:
+            summary["corpus_docs"] = docs.count()
+    finally:
+        pinned.unpersist()
     return summary

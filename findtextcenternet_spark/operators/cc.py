@@ -85,12 +85,22 @@ def cc_edges(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
     e = e.localCheckpoint(eager=False)
     fp = _fingerprint(e)
     rounds = 0
+    converged = fp[0] == 0             # empty edge set is trivially done
     for rounds in range(1, max_rounds + 1):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         nfp = _fingerprint(e)
         if nfp == fp:
+            converged = True
             break
         fp = nfp
+    if not converged:
+        # a silently non-converged edge set is NOT a star forest — the
+        # labels read off it would drop whole clusters (incl. keepers)
+        # from a dedup with no error. log-squared rounds bound means a
+        # legitimate graph never gets here at max_rounds=50.
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} "
+            f"rounds ({fp[0]} edges remain)")
     return e, rounds
 
 

@@ -715,9 +715,13 @@ def drop_repeated_paragraphs(docs, id_col: str = "url",
 
     Returns (id_col, clean_text, n_dropped); clean_text is NULL when
     every paragraph was boilerplate."""
+    # F.split takes a Java REGEX — quote the separator (\Q...\E) so a
+    # metachar sep ('|', '. ') splits literally and round-trips with the
+    # literal array_join below
+    sep_re = "\\Q" + sep + "\\E"
     meta = (docs.select(
                 F.col(id_col),
-                F.posexplode(F.split(F.col(text_col), sep))
+                F.posexplode(F.split(F.col(text_col), sep_re))
                 .alias("pos", "para"))
             .select(id_col, "pos",
                     F.md5(F.encode("para", "utf-8")).alias("fp")))
@@ -726,7 +730,7 @@ def drop_repeated_paragraphs(docs, id_col: str = "url",
     drops = (meta.join(hot, "fp")
              .groupBy(id_col)
              .agg(F.collect_list("pos").alias("_drop_pos")))
-    ws = F.split(F.col(text_col), sep)
+    ws = F.split(F.col(text_col), sep_re)
     drop_pos = F.coalesce(F.col("_drop_pos"),
                           F.array().cast("array<int>"))
     kept = F.filter(ws, lambda w, i: ~F.array_contains(drop_pos, i))

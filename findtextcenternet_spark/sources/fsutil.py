@@ -75,11 +75,19 @@ def list_files(path: str, match: str = ".warc") -> list[str]:
 
 def _as_local(path: str) -> str | None:
     """Local filesystem path for bare paths, ``file:/x``, and full
-    ``file://`` URIs; None for every other scheme."""
+    ``file://`` URIs; None for every other scheme. A non-empty authority
+    (``file://host/x``, or the ``file://tmp/x`` typo for
+    ``file:///tmp/x``) is rejected — silently treating it as a relative
+    path would write shards somewhere the manifest path can't read."""
     if _is_local(path):
         return _strip_file_scheme(path)
     if path.startswith("file://"):
-        return path[len("file://"):]
+        rest = path[len("file://"):]
+        if rest and not rest.startswith("/"):
+            raise ValueError(
+                f"file:// URI with an authority is not supported: {path!r}"
+                " (did you mean file:///...?)")
+        return rest
     return None
 
 

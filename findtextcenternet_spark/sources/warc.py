@@ -147,7 +147,13 @@ def _parse_warc_date(s: str) -> dt.datetime:
             return dt.datetime.strptime(s, fmt)
         except ValueError:
             continue
-    return dt.datetime.fromisoformat(s.rstrip("Z"))
+    # offset forms ('+00:00'): normalize to NAIVE UTC — a tz-aware value
+    # mixed with the naive Z-dates would fail the pandas→Arrow conversion
+    # outside the salvage try/except and kill the whole task
+    parsed = dt.datetime.fromisoformat(s.rstrip("Z"))
+    if parsed.tzinfo is not None:
+        parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return parsed
 
 
 def pages_from_warc_bytes(blob: bytes, source: str = "",

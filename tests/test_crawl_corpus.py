@@ -185,3 +185,37 @@ def test_crawl_to_corpus_through_catalog_store(spark, tmp_path,
     # nothing was written to the parquet docs dir — the store took it
     import os
     assert not os.path.isdir(tmp_path / "out" / "docs")
+
+
+def test_crawl_to_corpus_empty_selection(spark, tmp_path, crawl_fixture):
+    """Review r6: a filter that selects nothing yields an empty summary,
+    not a crash — through the parquet store AND the catalog store."""
+    from findtextcenternet_spark.lineage import InMemoryCatalogStore
+
+    warc = tmp_path / "c.warc.gz"
+    warc.write_bytes(write_warc(crawl_fixture))
+    idx_dir = tmp_path / "cdx"
+    write_cdxj(build_cdx(spark, str(warc)), str(idx_dir)).collect()
+    for tag, store in (("p", None), ("m", InMemoryCatalogStore(spark))):
+        s = crawl_to_corpus(
+            spark, str(idx_dir), str(tmp_path / f"out_{tag}"),
+            input_format="cdx", cdx_mime="application/nothing-matches",
+            near_dedup=True, wet_dir=str(tmp_path / f"wet_{tag}"),
+            store=store)
+        assert s["n_docs"] == 0
+        assert s["wet_records"] == 0 and s["near_dup_dropped"] == 0
+
+
+def test_cli_flag_guards(tmp_path):
+    """Incompatible flag combinations fail fast instead of silently
+    dropping the requested corpus outputs."""
+    from findtextcenternet_spark.__main__ import main
+
+    for argv in (
+        ["in", "out", "--streaming", "--near-dedup"],
+        ["in", "out", "--format", "warc", "--index", "--wet-out", "w"],
+        ["in", "out", "--format", "cdx", "--cdx-dedup", "--near-dedup"],
+    ):
+        with pytest.raises(SystemExit) as ei:
+            main(argv)
+        assert ei.value.code == 2, argv

@@ -130,3 +130,16 @@ def test_cc_random_graph_scale_smoke(spark):
     for x, r in comp.items():
         if x != want_min[r]:
             assert got[x] == want_min[r], (x, got[x], want_min[r])
+
+
+def test_drop_repeated_paragraphs_metachar_separator(spark):
+    """Review r6: sep is a LITERAL separator, not a Java regex — '|'
+    must not split between every character."""
+    docs = pd.DataFrame({
+        "url": ["a", "b"],
+        "text": ["shared|own a", "shared|own b"],
+    })
+    out = drop_repeated_paragraphs(
+        spark.createDataFrame(docs), sep="|", max_count=1).collect()
+    got = {r.url: (r.clean_text, r.n_dropped) for r in out}
+    assert got == {"a": ("own a", 1), "b": ("own b", 1)}

@@ -277,3 +277,24 @@ def test_warc11_fractional_second_dates(corpus):
     ok = got[got.error.isna()] if "error" in got.columns else got
     assert len(ok) == len(rows)
     assert all(ts.microsecond == 405000 for ts in ok["warc_ts"])
+
+
+def test_warc_offset_dates_normalize_to_naive_utc(corpus):
+    """Review r6: '+HH:MM' offset dates must come back NAIVE UTC — a
+    tz-aware value mixed with naive Z-dates fails the pandas→Arrow
+    conversion outside the salvage path and kills the task."""
+    import re
+
+    rows = _rows(corpus)[:3]
+    blob = write_warc(rows, gzip_records=False)
+    patched = re.sub(rb"(WARC-Date: \d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})Z",
+                     rb"\g<1>+02:00", blob)
+    assert patched != blob
+    got = pages_from_warc_bytes(patched)
+    ok = got[got.error.isna()] if "error" in got.columns else got
+    assert len(ok) == len(rows)
+    assert all(ts.tzinfo is None for ts in ok["warc_ts"])
+    # -2h vs the Z form (the offset was subtracted, not dropped)
+    base = pages_from_warc_bytes(blob)
+    assert all((b - a).total_seconds() == 7200
+               for a, b in zip(ok["warc_ts"], base["warc_ts"]))
