@@ -50,9 +50,12 @@ from .fsutil import open_binary
 from .warc import (
     _BINARYFILE_SCHEMA,
     PAGES_SCHEMA,
+    SALVAGE_ERRORS,
     _parse_warc_date,
+    decode_http_payload,
     iter_warc_records,
     parse_http_response,
+    split_http_response,
 )
 
 CDX_SCHEMA = ("urlkey string, warc_ts timestamp, url string, mime string, "
@@ -72,7 +75,10 @@ def surt_key(url: str) -> str:
     same url always lands in the same index shard."""
     u = url.strip().split("#", 1)[0]
     rest = u.split("://", 1)[1] if "://" in u else u
-    hostport, _, path = rest.partition("/")
+    # the query can start BEFORE any path slash ('example.com?a=1') —
+    # cut it off first so it never leaks into the host segment
+    pre, _, query = rest.partition("?")
+    hostport, _, path = pre.partition("/")
     host = hostport.rsplit("@", 1)[-1]
     port = ""
     if ":" in host:
@@ -83,11 +89,12 @@ def surt_key(url: str) -> str:
     key = ",".join(reversed(host.split(".")))
     if port and port not in ("80", "443"):
         key += ":" + port
-    path_part, _, query = ("/" + path).partition("?")
-    out = key + ")" + path_part.lower()
+    out = key + ")/" + path.lower()
     if query:
         out += "?" + "&".join(sorted(query.lower().split("&")))
-    return out
+    # CDXJ lines are space-delimited: a raw space in the key would shift
+    # every later field on read-back
+    return out.replace(" ", "%20")
 
 
 def _iter_gzip_members(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
@@ -95,14 +102,24 @@ def _iter_gzip_members(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
     GzipFile hides member boundaries; decompressobj(wbits=31) stops at
     each member's end and reports the leftover via ``unused_data``, which
     is exactly the boundary the CDX offset must record."""
+    # feed the decompressor fixed-size windows of a memoryview — slicing
+    # the whole remaining tail per member would be O(members × filesize)
+    # memcpy on member-per-record archives (the Common Crawl shape)
+    view = memoryview(blob)
     pos, n = 0, len(blob)
+    chunk_sz = 1 << 20
     while pos < n:
         d = zlib.decompressobj(31)
-        out = d.decompress(blob[pos:])
-        if not d.eof:
-            raise ValueError("truncated gzip member")
-        consumed = (n - pos) - len(d.unused_data)
-        yield pos, consumed, out
+        parts: list[bytes] = []
+        p = pos
+        while not d.eof:
+            if p >= n:
+                raise ValueError("truncated gzip member")
+            window = view[p:p + chunk_sz]
+            parts.append(d.decompress(window))
+            p += len(window)
+        consumed = (p - pos) - len(d.unused_data)
+        yield pos, consumed, b"".join(parts)
         pos += consumed
 
 
@@ -154,7 +171,15 @@ def iter_cdx_entries(blob: bytes, filename: str) -> list[dict]:
                     continue
                 if "application/http" not in headers.get("content-type", ""):
                     continue
-                http, payload = parse_http_response(body)
+                # payload decode failures are RECORD-level conditions
+                # (e.g. Content-Encoding: br, corrupt body gzip) — index
+                # the record with the raw stored payload's digest instead
+                # of poisoning the whole archive tail
+                http, raw_payload = split_http_response(body)
+                try:
+                    payload = decode_http_payload(http, raw_payload)
+                except SALVAGE_ERRORS:
+                    payload = raw_payload
                 status_line = http.get("_status", "").split()
                 url = headers.get("warc-target-uri", "")
                 ts = _parse_warc_date(headers["warc-date"])
@@ -174,7 +199,7 @@ def iter_cdx_entries(blob: bytes, filename: str) -> list[dict]:
                     "filename": filename,
                     "error": None,
                 })
-    except (ValueError, KeyError, OSError, EOFError) as exc:
+    except SALVAGE_ERRORS as exc:
         rows.append({"urlkey": f"cdx:tail-error:{filename}",
                      "warc_ts": None, "url": None, "mime": None,
                      "status": None, "digest": None, "length": None,
@@ -288,9 +313,12 @@ def read_cdxj(spark: SparkSession, path: str | list[str]) -> DataFrame:
     files = spark.read.format("binaryFile").load(path)
 
     def _one(blob: bytes, source: str) -> pd.DataFrame:
-        text = gzip.decompress(blob) if blob[:2] == b"\x1f\x8b" else blob
         rows: list[dict] = []
         try:
+            # decompress INSIDE the salvage try: a truncated shard raises
+            # EOFError/BadGzipFile here, the most common shard corruption
+            text = (gzip.decompress(blob) if blob[:2] == b"\x1f\x8b"
+                    else blob)
             for line in text.splitlines():
                 if not line.strip():
                     continue
@@ -306,7 +334,7 @@ def read_cdxj(spark: SparkSession, path: str | list[str]) -> DataFrame:
                     "length": int(m["length"]), "offset": int(m["offset"]),
                     "filename": m["filename"], "error": None,
                 })
-        except (ValueError, KeyError) as exc:
+        except SALVAGE_ERRORS as exc:
             rows.append({"urlkey": f"cdx:tail-error:{source}",
                          "warc_ts": None, "url": None, "mime": None,
                          "status": None, "digest": None, "length": None,
@@ -399,11 +427,17 @@ def fetch_cdx_records(spark: SparkSession, cdx: DataFrame,
         for pdf in it:
             rows: list[dict] = []
             for fname, grp in pdf.groupby("filename", sort=False):
-                want: dict[tuple[int, int], set[str]] = {}
+                # a shared slice (whole-file gzip) can hold SEVERAL
+                # captures of a url — key the filter on (url, ts) at
+                # second grain so only the addressed captures come back
+                # (filtering on url alone would reintroduce re-captures
+                # the index dedup removed)
+                want: dict[tuple[int, int], set] = {}
                 for r in grp.to_dict("records"):
+                    ts = r["warc_ts"].to_pydatetime().replace(microsecond=0)
                     want.setdefault(
                         (int(r["offset"]), int(r["length"])),
-                        set()).add(r["url"])
+                        set()).add((r["url"], ts))
                 try:
                     # local paths via open(); s3/hdfs/gs URIs via
                     # pyarrow.fs — seek+read there IS a ranged GET
@@ -418,17 +452,18 @@ def fetch_cdx_records(spark: SparkSession, cdx: DataFrame,
                                 if hdr.get("warc-type") != "response":
                                     continue
                                 url = hdr.get("warc-target-uri", "")
-                                if url not in want[(off, ln)]:
+                                rec_ts = _parse_warc_date(
+                                    hdr["warc-date"]).replace(microsecond=0)
+                                if (url, rec_ts) not in want[(off, ln)]:
                                     continue
                                 _http, payload = parse_http_response(body)
                                 rows.append({
                                     "url": url,
-                                    "warc_ts": _parse_warc_date(
-                                        hdr["warc-date"]),
+                                    "warc_ts": rec_ts,
                                     "html": payload, "text": None,
                                     "lang": None, "error": None,
                                 })
-                except (ValueError, KeyError, OSError, EOFError) as exc:
+                except SALVAGE_ERRORS as exc:
                     rows.append({
                         "url": f"cdx-fetch:error:{fname}",
                         "warc_ts": None, "html": None, "text": None,
@@ -439,7 +474,7 @@ def fetch_cdx_records(spark: SparkSession, cdx: DataFrame,
                                "error"])
 
     keep = cdx.filter(cdx.error.isNull()) \
-              .select("url", "filename", "offset", "length")
+              .select("url", "warc_ts", "filename", "offset", "length")
     band = F.floor(F.col("offset") / F.lit(band_bytes))
     return (keep.repartition(n, F.col("filename"), band)
             .sortWithinPartitions("filename", "offset")

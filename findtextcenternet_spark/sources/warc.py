@@ -44,6 +44,11 @@ from pyspark.sql import DataFrame, SparkSession
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string, error string")
 
+# the ONE exception tuple every record-walk salvage handler uses:
+# zlib.error is NOT a ValueError/OSError — omitting it lets mid-member
+# deflate corruption escape the salvage and kill the whole Spark task
+SALVAGE_ERRORS = (ValueError, KeyError, OSError, EOFError, zlib.error)
+
 
 def _read_headers(fp) -> dict[str, str] | None:
     """One CRLF-terminated header block → dict (first line under
@@ -199,7 +204,7 @@ def pages_from_warc_bytes(blob: bytes, source: str = "",
                 "lang": "",
                 "error": None,
             })
-    except (ValueError, KeyError, OSError, EOFError) as exc:
+    except SALVAGE_ERRORS as exc:
         rows.append({"url": f"warc:tail-error:{source}", "warc_ts": None,
                      "html": None, "text": None, "lang": "",
                      "error": f"warc: {type(exc).__name__}: {exc} "
@@ -362,8 +367,7 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
                     "text": body.decode("utf-8"),
                     "error": None,
                 })
-        except (ValueError, KeyError, OSError, EOFError,
-                UnicodeDecodeError) as exc:
+        except SALVAGE_ERRORS + (UnicodeDecodeError,) as exc:
             rows.append({"url": f"wet:tail-error:{source}",
                          "warc_ts": None, "text": None,
                          "error": f"wet: {type(exc).__name__}: {exc} "

@@ -54,6 +54,7 @@ _ARROW_SCHEMA = pa.schema([
 ])
 
 _BATCH_ROWS = 512
+_BATCH_BYTES = 256 << 20      # well under pa.binary()'s 2 GB offset limit
 
 
 @dataclass
@@ -80,8 +81,9 @@ def _iter_file_rows(path: str,
     reader: non-matching HTTP payloads are dropped at the walk, before
     they reach an Arrow batch."""
     from .fsutil import open_binary
-    from .warc import (_parse_warc_date, decode_http_payload,
-                       iter_warc_records, split_http_response)
+    from .warc import (SALVAGE_ERRORS, _parse_warc_date,
+                       decode_http_payload, iter_warc_records,
+                       split_http_response)
 
     with open_binary(path) as raw:
         magic = raw.read(2)
@@ -104,21 +106,33 @@ def _iter_file_rows(path: str,
                 yield (headers.get("warc-target-uri", ""),
                        _parse_warc_date(headers["warc-date"]),
                        payload, None, "", None)
-        except (ValueError, KeyError, OSError, EOFError) as exc:
+        except SALVAGE_ERRORS as exc:
             yield (f"warc:tail-error:{path}", None, None, None, "",
                    f"warc: {type(exc).__name__}: {exc}")
 
 
-def _read_partition(partition: WarcFilePartition) -> Iterator[pa.RecordBatch]:
+def _read_partition(partition: WarcFilePartition | None
+                    ) -> Iterator[pa.RecordBatch]:
+    if partition is None:
+        # an empty directory/glob yields zero partitions; PySpark then
+        # substitutes [None] and still calls read(None) — return an
+        # empty stream, don't crash the first query on an empty landing
+        # dir (sql/worker/plan_data_source_read.py)
+        return
     cols: list[list] = [[], [], [], [], [], []]
+    nbytes = 0
     for row in _iter_file_rows(partition.path, partition.content_types):
         for c, v in zip(cols, row):
             c.append(v)
-        if len(cols[0]) >= _BATCH_ROWS:
+        nbytes += len(row[2] or b"")
+        # flush on bytes as well as rows: pa.binary() offsets are 32-bit,
+        # so a batch whose payloads pass 2 GB cannot be built at all
+        if len(cols[0]) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, t.type) for c, t in zip(cols, _ARROW_SCHEMA)],
                 schema=_ARROW_SCHEMA)
             cols = [[], [], [], [], [], []]
+            nbytes = 0
     if cols[0]:
         yield pa.RecordBatch.from_arrays(
             [pa.array(c, t.type) for c, t in zip(cols, _ARROW_SCHEMA)],

@@ -442,3 +442,116 @@ def test_index_pruned_extraction(spark, tmp_path, corpus):
     b = want.sort_values("url").reset_index(drop=True)
     assert list(a["url"]) == list(b["url"])
     assert list(a["text"]) == list(b["text"])
+
+
+def test_surt_key_review_r6_edges():
+    """Review r6: query before any path slash stays out of the host
+    segment; spaces are %20-escaped (CDXJ lines are space-delimited)."""
+    assert surt_key("https://example.com?a=1") == "com,example)/?a=1"
+    assert surt_key("https://example.com/?a=1") == "com,example)/?a=1"
+    assert surt_key("http://example.com/a b") == "com,example)/a%20b"
+
+
+def test_zlib_corruption_salvaged(corpus):
+    """Review r6: a bit-flipped gzip member raises zlib.error — it must
+    land in the tail-salvage row, not escape and kill the task."""
+    rows = _rows(corpus.head(8))
+    blob = bytearray(write_warc(rows, gzip_records=True))
+    # corrupt deflate data inside the LAST member (flip bytes near EOF,
+    # clear of the 10-byte header of the first member)
+    for i in range(len(blob) - 40, len(blob) - 20):
+        blob[i] ^= 0xFF
+    entries = iter_cdx_entries(bytes(blob), "bitflip.warc.gz")
+    good = [e for e in entries if e["error"] is None]
+    bad = [e for e in entries if e["error"] is not None]
+    assert len(bad) == 1 and "salvaged" in bad[0]["error"]
+    assert len(good) >= 1        # earlier members survived
+
+
+def test_unsupported_content_encoding_is_record_level(corpus):
+    """Review r6: a 'Content-Encoding: br' record must not poison the
+    archive tail — it is indexed with the raw stored payload's digest
+    and the walk continues to the records after it."""
+    raw_payload = b"\x8b\x02\x80fake-brotli-bytes"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: br\r\n\r\n" + raw_payload)
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Date: 2026-03-01T00:00:00Z\r\n"
+           b"WARC-Record-ID: <urn:uuid:br-1>\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n"
+           b"WARC-Target-URI: http://br.example.org/x\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+    before = _rows(corpus.head(3))
+    after = _rows(corpus.iloc[3:6])
+    blob = (write_warc(before, gzip_records=False) + rec
+            + write_warc(after, gzip_records=False))
+    entries = iter_cdx_entries(blob, "br.warc")
+    assert all(e["error"] is None for e in entries)
+    assert len(entries) == 7                  # 3 + br + 3: walk continued
+    br = next(e for e in entries if e["url"] == "http://br.example.org/x")
+    assert br["digest"] == base64.b32encode(
+        hashlib.sha1(raw_payload).digest()).decode()
+
+
+def test_read_cdxj_truncated_shard_salvages(spark, tmp_path, corpus):
+    """Review r6: a truncated .cdx.gz shard yields an error row, not a
+    task failure (decompression now inside the salvage try)."""
+    rows = _rows(corpus.head(10))
+    warc_path = tmp_path / "a.warc.gz"
+    warc_path.write_bytes(write_warc(rows))
+    man = write_cdxj(build_cdx(spark, str(warc_path)),
+                     str(tmp_path / "cdx")).collect()
+    shard = man[0].path
+    data = open(shard, "rb").read()
+    open(shard, "wb").write(data[:len(data) // 2])     # truncate
+    out = read_cdxj(spark, shard).toPandas()
+    errs = out[out.error.notna()]
+    assert len(errs) == 1 and "cdxj" in errs.iloc[0]["error"]
+
+
+def test_fetch_shared_slice_filters_by_capture(spark, tmp_path, corpus):
+    """Review r6: a whole-file-gzip archive holds TWO captures of one
+    url in one shared slice; fetching only the newer index entry must
+    return exactly that capture, not both."""
+    import datetime as dt
+
+    rows = _rows(corpus.head(3))
+    dup = dict(rows[0])
+    dup["warc_ts"] = rows[0]["warc_ts"] + pd.Timedelta(hours=2)
+    dup["text"] = rows[0]["text"] + " newer"
+    dup["html"] = rows[0]["html"] + b" newer"
+    all_rows = rows + [dup]
+    blob = gzip.compress(write_warc(all_rows, gzip_records=False))
+    warc_path = tmp_path / "whole.warc.gz"
+    warc_path.write_bytes(blob)
+    cdx = build_cdx(spark, str(warc_path))
+    assert cdx.filter(cdx.error.isNull()).count() == 4
+    newest = latest_unique_captures(cdx).filter(
+        cdx.url == rows[0]["url"])
+    # two distinct digests for the url -> both kept by digest dedup;
+    # fetch only the NEWER capture's entry
+    import pyspark.sql.functions as F
+
+    newer_entry = (cdx.filter(cdx.error.isNull())
+                   .filter(cdx.url == rows[0]["url"])
+                   .orderBy(F.col("warc_ts").desc()).limit(1))
+    got = fetch_cdx_records(spark, newer_entry).toPandas()
+    got = got[got.error.isna()]
+    assert len(got) == 1
+    assert bytes(got.iloc[0]["html"]).endswith(b" newer")
+
+
+def test_warc_datasource_empty_dir(spark, tmp_path):
+    """Review r6: reading an empty landing dir returns an empty frame
+    (PySpark calls read(None) when partitions() is empty)."""
+    d = tmp_path / "empty"
+    d.mkdir()
+    from findtextcenternet_spark.sources.warc_datasource import (
+        register_warc_datasource,
+    )
+
+    register_warc_datasource(spark)
+    out = spark.read.format("warc").load(str(d))
+    assert out.count() == 0
