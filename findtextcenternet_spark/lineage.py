@@ -139,6 +139,20 @@ class DocStore:
     def append_quarantine(self, df: DataFrame) -> None:
         raise NotImplementedError
 
+    def quarantine_nonempty(self) -> bool:
+        raise NotImplementedError
+
+    def read_quarantine(self) -> DataFrame:
+        raise NotImplementedError
+
+    def read_run_quarantine(self, run_id: str) -> DataFrame:
+        """(url, error, run_id) error rows of one committed run, read
+        from the docs table (error rows ARE the quarantine; the mirror
+        table is derived) — partition-pruned; healing uses this to
+        rebuild the quarantine mirror for a run whose post-docs appends
+        were lost to a crash."""
+        raise NotImplementedError
+
     def append_lineage(self, df: DataFrame) -> None:
         raise NotImplementedError
 
@@ -201,7 +215,24 @@ class ParquetDirStore(DocStore):
         df.write.mode("append").partitionBy("run_id").parquet(self.docs_dir)
 
     def read_docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.docs_dir)
+        if not self.has_legacy_flat_docs():
+            return self.spark.read.parquet(self.docs_dir)
+        # mixed layout: flat pre-partitioning files at the root next to
+        # run_id= dirs break whole-dir partition discovery ('conflicting
+        # directory structures') — read each shape explicitly, like
+        # read_run_urls does
+        flat = [os.path.join(self.docs_dir, e)
+                for e in os.listdir(self.docs_dir)
+                if e.endswith(".parquet")]
+        out = (self.spark.read.parquet(*flat)
+               .withColumn("run_id", F.lit(LEGACY_RUN_ID)))
+        for rid in sorted(self.committed_run_ids()):
+            part = os.path.join(self.docs_dir, f"run_id={rid}")
+            out = out.unionByName(
+                self.spark.read.parquet(part)
+                .withColumn("run_id", F.lit(rid)),
+                allowMissingColumns=True)
+        return out
 
     def append_done(self, urls: DataFrame) -> None:
         (urls.repartition(DONE_BUCKETS, "url")
@@ -225,6 +256,19 @@ class ParquetDirStore(DocStore):
 
     def append_quarantine(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.quarantine_dir)
+
+    def quarantine_nonempty(self) -> bool:
+        return _dir_nonempty(self.quarantine_dir)
+
+    def read_quarantine(self) -> DataFrame:
+        return self.spark.read.parquet(self.quarantine_dir)
+
+    def read_run_quarantine(self, run_id: str) -> DataFrame:
+        part = os.path.join(self.docs_dir, f"run_id={run_id}")
+        return (self.spark.read.parquet(part)
+                .filter(F.col("error").isNotNull())
+                .select("url", "error")
+                .withColumn("run_id", F.lit(run_id)))
 
     def append_lineage(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.lineage_dir)
@@ -306,6 +350,15 @@ class InMemoryCatalogStore(DocStore):
 
     def append_quarantine(self, df: DataFrame) -> None:
         self._quarantine.append(self._collect(df))
+
+    def quarantine_nonempty(self) -> bool:
+        return any(rows for _s, rows in self._quarantine)
+
+    def read_run_quarantine(self, run_id: str) -> DataFrame:
+        schema, rows = self._docs[run_id]
+        return (self.spark.createDataFrame(rows, schema=schema)
+                .filter(F.col("error").isNotNull())
+                .select("url", "error", "run_id"))
 
     def append_lineage(self, df: DataFrame) -> None:
         self._lineage.append(self._collect(df))
@@ -432,6 +485,16 @@ class IcebergDocStore(DocStore):
     def append_quarantine(self, df: DataFrame) -> None:
         self._append(df, self.quarantine_tbl)
 
+    def quarantine_nonempty(self) -> bool:
+        return (self._exists(self.quarantine_tbl)
+                and bool(self.spark.table(self.quarantine_tbl).head(1)))
+
+    def read_run_quarantine(self, run_id: str) -> DataFrame:
+        return (self.spark.table(self.docs_tbl)
+                .filter((F.col("run_id") == run_id)
+                        & F.col("error").isNotNull())
+                .select("url", "error", "run_id"))
+
     def append_lineage(self, df: DataFrame) -> None:
         self._append(df, self.lineage_tbl)
 
@@ -484,6 +547,21 @@ def _settled_urls(store: DocStore, heal: bool) -> DataFrame | None:
         # this backfill; a url re-extracted under TWO run_ids still lands
         # twice — tolerated, the resume anti-join is set-semantics
         store.append_done(missing_urls.distinct())
+        # the quarantine MIRROR is also post-docs state: rebuild it for
+        # the backfilled runs from their committed error rows, skipping
+        # urls already mirrored (quarantined exactly once per output dir)
+        q_backfill = None
+        for rid in sorted(missing):
+            q = store.read_run_quarantine(rid)
+            q_backfill = q if q_backfill is None else q_backfill.unionByName(q)
+        if q_backfill is not None:
+            if store.quarantine_nonempty():
+                q_backfill = q_backfill.join(
+                    store.read_quarantine().select("url"),
+                    "url", "left_anti")
+            q_backfill = q_backfill.localCheckpoint()
+            if q_backfill.head(1):
+                store.append_quarantine(q_backfill)
         healed_ids = sorted(missing)
         if store.has_legacy_flat_docs() and LEGACY_RUN_ID not in done_ids:
             healed_ids.append(LEGACY_RUN_ID)
@@ -544,9 +622,7 @@ def run_extract(pages: DataFrame, out_dir: str,
         # this run's settled urls (docs AND quarantine rows) → compact
         # done-set side table: resume reads O(done-set), one string
         # column, instead of the url column of everything ever written
-        store.append_done(out.select("url")
-                          .withColumn("run_id", F.lit(run_id)))
-        store.mark_done([run_id])  # done append committed in full
+        store.append_done(out.select("url", "run_id"))
 
         quarantine = out.filter(F.col("error").isNotNull())
         n_quarantined = quarantine.count()
@@ -557,13 +633,21 @@ def run_extract(pages: DataFrame, out_dir: str,
         good = out.filter(F.col("error").isNull())
         lineage = (good.groupBy("part_id")
                    .agg(F.count("*").alias("n_docs"),
-                        F.sum(F.length("text")).alias("text_bytes"),
+                        # BYTES, not characters: CJK text is ~3 B/char
+                        F.sum(F.octet_length("text")).alias("text_bytes"),
                         F.sum(F.when(F.col("path") == "raster", 1)
                               .otherwise(0)).alias("n_raster"))
                    .withColumn("run_id", F.lit(run_id))
                    .withColumn("wall_sec", F.lit(round(wall, 3)))
                    .withColumn("committed_at", F.current_timestamp()))
         store.append_lineage(lineage)
+        # the marker means the run is FULLY recorded — done set,
+        # quarantine mirror AND lineage — so it is written LAST: a crash
+        # anywhere above leaves the run unmarked and the next resume's
+        # healing pass re-derives all three from the committed docs
+        # (re-extraction never happens either way; docs are the commit
+        # point and the anti-join sees the backfilled done rows)
+        store.mark_done([run_id])
         n_docs = good.count()
     finally:
         out.unpersist()

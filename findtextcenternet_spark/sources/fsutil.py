@@ -56,19 +56,26 @@ def list_files(path: str, match: str = ".warc") -> list[str]:
             names = [os.path.join(local, n) for n in os.listdir(local)
                      if match in n and not n.endswith(".inprogress")]
         else:
+            # the glob branch applies the SAME match filter as the
+            # directory branch — the contract is uniform
             names = [n for n in _glob.glob(local)
-                     if not n.endswith(".inprogress")]
+                     if match in os.path.basename(n)
+                     and not n.endswith(".inprogress")]
         return sorted(n for n in names if os.path.isfile(n))
     import pyarrow.fs as pafs
 
     fs, p = pafs.FileSystem.from_uri(path)
-    scheme = path.split("://", 1)[0]
     info = fs.get_file_info(p)
     if info.type == pafs.FileType.File:
         return [path]
+    # rebuild child URIs by joining base_name onto the ORIGINAL uri —
+    # reconstructing from fi.path would drop the authority (hdfs://
+    # host:port) or double the bucket (s3://bucket), since from_uri's
+    # path normalization differs per filesystem
+    base = path.rstrip("/")
     sel = pafs.FileSelector(p, recursive=False)
     return sorted(
-        f"{scheme}://{fi.path}" for fi in fs.get_file_info(sel)
+        f"{base}/{fi.base_name}" for fi in fs.get_file_info(sel)
         if fi.type == pafs.FileType.File and match in fi.base_name
         and not fi.base_name.endswith(".inprogress"))
 
@@ -105,20 +112,31 @@ def makedirs(path: str) -> None:
     fs.create_dir(p, recursive=True)
 
 
+# schemes where a single streamed upload lands all-or-nothing at the
+# final name (object stores: the PUT either completes or nothing exists)
+_ATOMIC_PUT_SCHEMES = frozenset({"s3", "s3a", "gs", "gcs", "abfs",
+                                 "abfss", "az", "wasb", "wasbs"})
+
+
 def write_shard(path: str, data: bytes) -> None:
     """Retry-safe executor-side shard write, scheme-dispatched like the
-    read path (``open_binary``). Local / ``file://``: tmpfile + atomic
-    ``os.replace`` so a reader never observes a partial shard (the
-    ``.inprogress`` tmp name is excluded by ``list_files``). Other URI
-    schemes (``s3://``, ``gs://``, ``hdfs://``): one
-    ``open_output_stream`` to the final name — object stores have no
-    atomic rename, but a single PUT is itself all-or-nothing, and the
-    shard name being a pure function of the partition id makes task
-    retries byte-identically idempotent."""
+    read path (``open_binary``).
+
+    * Local / ``file://``: unique tmpfile + atomic ``os.replace`` — a
+      reader never observes a partial shard, and two concurrent attempts
+      of the same task (speculation, a zombie retry) each write their
+      OWN tmp, so the loser can't truncate the winner mid-write.
+    * Object-store URIs: one ``open_output_stream`` to the final name —
+      the PUT is itself all-or-nothing and the shard name being a pure
+      function of the partition id makes retries byte-idempotent.
+    * Other remote filesystems (``hdfs://`` etc. — streaming writes,
+      partial files ARE observable): unique tmp name + ``fs.move``.
+    The ``.inprogress`` tmp suffix is excluded by ``list_files`` in
+    every branch."""
     local = _as_local(path)
     if local is not None:
         os.makedirs(os.path.dirname(local), exist_ok=True)
-        tmp = local + ".inprogress"
+        tmp = f"{local}.{os.getpid()}-{os.urandom(4).hex()}.inprogress"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, local)
@@ -126,8 +144,15 @@ def write_shard(path: str, data: bytes) -> None:
     import pyarrow.fs as pafs
 
     fs, p = pafs.FileSystem.from_uri(path)
-    with fs.open_output_stream(p) as f:
+    scheme = path.split("://", 1)[0].lower()
+    if scheme in _ATOMIC_PUT_SCHEMES:
+        with fs.open_output_stream(p) as f:
+            f.write(data)
+        return
+    tmp = f"{p}.{os.getpid()}-{os.urandom(4).hex()}.inprogress"
+    with fs.open_output_stream(tmp) as f:
         f.write(data)
+    fs.move(tmp, p)
 
 
 def join(base: str, name: str) -> str:

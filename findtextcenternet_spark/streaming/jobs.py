@@ -47,6 +47,25 @@ def read_pages_stream(spark: SparkSession, input_dir: str,
             .parquet(input_dir))
 
 
+def _foreach_batch_idempotent(stream_df: DataFrame, out_dir: str,
+                              checkpoint_dir: str, transform=None):
+    """The ONE idempotent foreachBatch sink every heavy streaming job
+    uses: each micro-batch (optionally transformed by the batch planner)
+    writes its own ``batch_id=<id>`` partition with overwrite, so a
+    replayed batch (crash between sink write and checkpoint commit)
+    overwrites itself instead of duplicating — effectively-once."""
+    import os
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    return (stream_df.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 def stream_extract_html(spark: SparkSession, input_dir: str,
                         out_dir: str, checkpoint_dir: str,
                         include_raster: bool = False):
@@ -66,16 +85,8 @@ def stream_extract_html(spark: SparkSession, input_dir: str,
 
     pages = read_pages_stream(spark, input_dir)
     if include_raster:
-        import os
-
-        def _process(batch_df: DataFrame, batch_id: int) -> None:
-            (extract_documents(batch_df)
-             .write.mode("overwrite")
-             .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
-
-        return (pages.writeStream.foreachBatch(_process)
-                .option("checkpointLocation", checkpoint_dir)
-                .trigger(availableNow=True).start())
+        return _foreach_batch_idempotent(
+            pages, out_dir, checkpoint_dir, transform=extract_documents)
     out = extract_html_path(pages)
     return (out.writeStream.format("parquet")
             .option("path", out_dir)
@@ -98,22 +109,14 @@ def stream_extract_warc(spark: SparkSession, input_dir: str,
     corrupt archive tails flow through ``extract_documents``'s quarantine
     (null html → error row under the per-archive ``warc:tail-error:``
     url), so a bad archive never stalls the stream."""
-    import os
-
     from ..pipeline import extract_documents
     from ..sources.warc import read_warc_stream
 
     pages = read_warc_stream(spark, input_dir,
                              max_files_per_trigger=max_files_per_trigger)
-
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        (extract_documents(batch_df.drop("error"))
-         .write.mode("overwrite")
-         .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
-
-    return (pages.writeStream.foreachBatch(_process)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True).start())
+    return _foreach_batch_idempotent(
+        pages, out_dir, checkpoint_dir,
+        transform=lambda b: extract_documents(b.drop("error")))
 
 
 def stream_index_warc(spark: SparkSession, input_dir: str,
@@ -128,20 +131,11 @@ def stream_index_warc(spark: SparkSession, input_dir: str,
     also records WHICH archives need re-fetching. The sorted CDXJ shards
     remain a batch compaction over this table (write_cdxj), mirroring the
     crawl's per-segment cdx → cluster index split."""
-    import os
-
     from ..sources.cdx import build_cdx_stream
 
     entries = build_cdx_stream(spark, input_dir,
                                max_files_per_trigger=max_files_per_trigger)
-
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.write.mode("overwrite")
-         .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
-
-    return (entries.writeStream.foreachBatch(_process)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True).start())
+    return _foreach_batch_idempotent(entries, out_dir, checkpoint_dir)
 
 
 def stream_quality_windows(spark: SparkSession, input_dir: str,

@@ -190,3 +190,42 @@ def test_store_lineage_rows_cover_all_docs(spark, tmp_path, mkstore):
     assert per_run == {"a": 30, "b": 50}
     assert lin.filter(F.col("wall_sec") <= 0).count() == 0
     assert lin.filter(F.col("committed_at").isNull()).count() == 0
+
+
+def test_store_crash_before_mirror_heals_quarantine(spark, tmp_path,
+                                                    mkstore):
+    """Review r6: the quarantine MIRROR is post-docs state. A crash after
+    the done append but before the mirror/lineage/marker writes must be
+    healed on the next resume — the error rows are rebuilt from the
+    committed docs, exactly once, and never re-extracted."""
+    from findtextcenternet_spark.pipeline import extract_documents
+
+    out_dir = str(tmp_path / "st6")
+    store = mkstore()
+    good = generate_pages(20)
+    bad_url = "https://bad.example.org/poison"
+    bad = pd.DataFrame([{
+        "url": bad_url,
+        "warc_ts": good["warc_ts"].iloc[0],
+        "html": RASTER_MARKER + b'{"page_w": 768, "glyphs": [{',
+        "text": "", "lang": "raster:xx",
+    }])
+    pages = pages_from_pandas(spark, pd.concat([good, bad],
+                                               ignore_index=True))
+    out = (extract_documents(pages, num_partitions=4)
+           .withColumn("part_id", F.spark_partition_id())
+           .withColumn("run_id", F.lit("a"))
+           .localCheckpoint(eager=True))
+    store.append_docs(out)
+    store.append_done(out.select("url", "run_id"))
+    # CRASH: no quarantine mirror, no lineage, no done marker
+
+    r = run_extract(pages, out_dir, run_id="b", num_partitions=4,
+                    store=store)
+    assert r["n_docs"] == 0 and r["n_quarantined"] == 0   # nothing redone
+    q = store.read_quarantine().toPandas()
+    assert list(q["url"]) == [bad_url]        # mirror healed from docs
+    assert "a" in store.done_run_ids()
+    # healing is once-only: another resume adds nothing
+    run_extract(pages, out_dir, run_id="c", num_partitions=4, store=store)
+    assert store.read_quarantine().count() == 1
