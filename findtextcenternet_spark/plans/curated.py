@@ -82,6 +82,14 @@ LEGS: dict[str, list[tuple[str, str]]] = {
     "dedup_exact": [("fp", "s"), ("keeper", "s"), ("n_dups", "d")],
     "dedup_paragraph": [("doc_id", "s"), ("clean_text", "s"),
                         ("n_dropped", "d")],
+    "curation_filter": [("doc_id", "s"), ("lang", "s"), ("n_chars", "d")],
+    "ngram_frequent": [("gram", "s"), ("n", "d")],
+    "decontaminate_ngram": [("doc_id", "s"), ("n_chars", "d")],
+    "stratified_sample_by_lang": [("doc_id", "s"), ("lang", "s")],
+    "doc_fingerprint": [("doc_id", "s"), ("fp", "s"), ("n_bytes", "d")],
+    # rhash is a full-range int64 — a double cast would lose precision
+    # above 2^53, so it rides as a string
+    "doc_rolling_hash": [("doc_id", "s"), ("rhash", "s")],
 }
 
 # merged entry name → leg names (each leg keeps full-row hash coverage)
@@ -109,6 +117,13 @@ MERGES: list[tuple[str, list[str]]] = [
     # clusters; and exact dedup + paragraph-grain dedup
     ("dedup_pairs_clusters", ["dedup_lsh_verified", "dedup_clusters"]),
     ("dedup_exact_paragraph", ["dedup_exact", "dedup_paragraph"]),
+    # r6: the corpus-curation set (C4-style gate, frequent n-grams,
+    # benchmark decontamination, stratified sampling) and the two
+    # fingerprint demos, folded so the window stays at 50
+    ("corpus_curation_ops", ["curation_filter", "ngram_frequent",
+                             "decontaminate_ngram",
+                             "stratified_sample_by_lang"]),
+    ("doc_fingerprints", ["doc_fingerprint", "doc_rolling_hash"]),
 ]
 
 

@@ -775,3 +775,106 @@ def dedup_paragraph(spark, sf_dir):
     pseudo = docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
     return drop_repeated_paragraphs(pseudo, id_col="doc_id",
                                     max_count=_PARA_MAX_N)
+
+
+# ------------------------------------------- corpus curation operators
+
+@register("curation_filter", """
+WITH fp AS (SELECT md5(text) AS f, min(doc_id) AS keeper
+            FROM documents GROUP BY md5(text))
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN fp ON md5(d.text) = fp.f AND d.doc_id = fp.keeper
+WHERE d.n_chars BETWEEN 100 AND 520
+  AND len(string_split(d.text, ' ')) >= 20
+""")
+def curation_filter(spark, sf_dir):
+    """The C4-style curation gate every training corpus passes: exact
+    dedup (keep the min-id doc per digest) composed with length and
+    word-count bounds. One digest shuffle + one fingerprint join; the
+    predicates are scan-level."""
+    d = _t(spark, sf_dir, "documents")
+    fp = (d.groupBy(F.md5(F.encode("text", "utf-8")).alias("f"))
+          .agg(F.min("doc_id").alias("keeper")))
+    return (d.withColumn("f", F.md5(F.encode("text", "utf-8")))
+            .join(fp, "f")
+            .filter((F.col("doc_id") == F.col("keeper"))
+                    & F.col("n_chars").between(100, 520)
+                    & (F.size(F.split("text", " ")) >= 20))
+            .select("doc_id", "lang", "n_chars"))
+
+
+@register("ngram_frequent", """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT unnest([array_to_string(ws[i:i+2], ' ')
+                     for i in range(1, len(ws) - 1)]) AS gram FROM w)
+SELECT gram, count(*) AS n FROM g GROUP BY gram HAVING count(*) >= 5
+""")
+def ngram_frequent(spark, sf_dir):
+    """Corpus-wide frequent n-gram mining (word trigrams): the standard
+    boilerplate/contamination diagnostic. Map-side partial counts → one
+    gram shuffle; the HAVING keeps output deterministic (no top-k tie
+    ambiguity)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.array_join(F.slice(ws, i, 3), " "))
+    return (d.select(F.explode(grams).alias("gram"))
+            .groupBy("gram").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 5))
+
+
+@register("decontaminate_ngram", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+3], ' ')
+                             for i in range(1, len(ws) - 2)]) AS gram
+      FROM w),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+         WHERE g.doc_id % 97 <> 0)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+""")
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: drop every training doc sharing any
+    word 4-gram with the held-out benchmark set (docs with id % 97 == 0
+    stand in for the benchmark). Gram explode → broadcast-able benchmark
+    gram set → semi-join marks contaminated docs → anti-join drops them.
+    At 100 TB the benchmark gram set is small (benchmarks are) and
+    broadcasts; the train side shuffles only (doc_id, gram)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 3),
+        lambda i: F.array_join(F.slice(ws, i, 4), " "))
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = g.filter(is_bench).select("gram").distinct()
+    hits = (g.filter(~is_bench)
+            .join(F.broadcast(bench), "gram", "left_semi")
+            .select("doc_id").distinct())
+    return (d.filter(~is_bench)
+            .join(hits, "doc_id", "left_anti")
+            .select("doc_id", "n_chars"))
+
+
+@register("stratified_sample_by_lang", """
+WITH r AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                  AS rn
+           FROM documents)
+SELECT doc_id, lang FROM r WHERE rn <= 30
+""")
+def stratified_sample_by_lang(spark, sf_dir):
+    """Deterministic stratified sampling: a per-language quota drawn by
+    md5-of-id order — the reproducible per-stratum sample a data-mix
+    ablation needs (rerunnable byte-identically, unlike rand()). One
+    lang-partitioned window; no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")))
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 30)
+            .select("doc_id", "lang"))

@@ -196,9 +196,9 @@ def test_curated_registry_covers_everything_in_50():
     for must in ("dedup_simhash", "dedup_ngram_jaccard", "ann_cosine_topk",
                  "ann_lsh_buckets", "ann_ivf_probe", "emb_label_centroids",
                  "lang_id", "quality_score", "token_count_total",
-                 "token_count_bpe", "doc_fingerprint", "doc_rolling_hash",
+                 "token_count_bpe", "doc_fingerprints",
                  "dedup_embedding_cosine", "dedup_pairs_clusters",
-                 "dedup_exact_paragraph",
+                 "dedup_exact_paragraph", "corpus_curation_ops",
                  "s5_extract_html_docs", "pipeline_extract_corpus",
                  "pipeline_quarantine", "pipeline_crawl_corpus",
                  "mm_feature_extract"):
