@@ -86,6 +86,12 @@ LEGS: dict[str, list[tuple[str, str]]] = {
     "ngram_frequent": [("gram", "s"), ("n", "d")],
     "decontaminate_ngram": [("doc_id", "s"), ("n_chars", "d")],
     "stratified_sample_by_lang": [("doc_id", "s"), ("lang", "s")],
+    "gopher_repetition": [("doc_id", "s"), ("top_bigram_frac", "d"),
+                          ("dup_bigram_frac", "d")],
+    "domain_stats": [("source", "s"), ("n_docs", "d"), ("n_tokens", "d"),
+                     ("avg_chars", "d")],
+    "domain_cap": [("doc_id", "s"), ("source", "s")],
+    "window_dedup": [("doc_id", "s"), ("n_shared_windows", "d")],
     "doc_fingerprint": [("doc_id", "s"), ("fp", "s"), ("n_bytes", "d")],
     # rhash is a full-range int64 — a double cast would lose precision
     # above 2^53, so it rides as a string
@@ -116,13 +122,19 @@ MERGES: list[tuple[str, list[str]]] = [
     # r6: the near-dup finish line — LSH-verified pairs + their transitive
     # clusters; and exact dedup + paragraph-grain dedup
     ("dedup_pairs_clusters", ["dedup_lsh_verified", "dedup_clusters"]),
-    ("dedup_exact_paragraph", ["dedup_exact", "dedup_paragraph"]),
+    # r6: window_dedup rides with the other whole/part-doc dedup grains
+    # (exact, paragraph, cross-doc 8-word windows)
+    ("dedup_exact_paragraph", ["dedup_exact", "dedup_paragraph",
+                               "window_dedup"]),
     # r6: the corpus-curation set (C4-style gate, frequent n-grams,
-    # benchmark decontamination, stratified sampling) and the two
-    # fingerprint demos, folded so the window stays at 50
+    # benchmark decontamination, stratified sampling, Gopher repetition
+    # gate, per-domain stats + cap) and the two fingerprint demos,
+    # folded so the window stays at 50
     ("corpus_curation_ops", ["curation_filter", "ngram_frequent",
                              "decontaminate_ngram",
-                             "stratified_sample_by_lang"]),
+                             "stratified_sample_by_lang",
+                             "gopher_repetition", "domain_stats",
+                             "domain_cap"]),
     ("doc_fingerprints", ["doc_fingerprint", "doc_rolling_hash"]),
 ]
 

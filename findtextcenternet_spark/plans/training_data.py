@@ -878,3 +878,134 @@ def stratified_sample_by_lang(spark, sf_dir):
     return (d.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 30)
             .select("doc_id", "lang"))
+
+
+# --------------------------------- repetition quality + domain + windows
+
+@register("gopher_repetition", """
+WITH w AS (SELECT doc_id, len(text) AS tot, string_split(text, ' ') AS ws
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+g AS (SELECT doc_id, tot, unnest([array_to_string(ws[i:i+1], ' ')
+                                  for i in range(1, len(ws))]) AS gram
+      FROM w),
+c AS (SELECT doc_id, tot, gram, count(*) AS n, len(gram) AS glen
+      FROM g GROUP BY doc_id, tot, gram)
+SELECT doc_id,
+       round(max(n * glen)::DOUBLE / tot, 6) AS top_bigram_frac,
+       round(sum(CASE WHEN n > 1 THEN n * glen ELSE 0 END)::DOUBLE / tot,
+             6) AS dup_bigram_frac
+FROM c GROUP BY doc_id, tot
+""")
+def gopher_repetition(spark, sf_dir):
+    """Within-document repetition stats a la Gopher (Rae et al. 2021,
+    table A1): fraction of characters in the most frequent word bigram
+    and in all duplicated bigrams. Repetitive machine-generated pages
+    score high and get gated out before training. Per-doc explode +
+    two-level agg — the gram shuffle key is (doc_id, gram), so the
+    stage is embarrassingly parallel per document and AQE coalesces;
+    no corpus-wide state. Docs shorter than one bigram are out of the
+    metric's domain and are filtered in BOTH engines."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    d = d.filter(F.size(ws) >= 2).select(
+        "doc_id", F.length("text").alias("tot"),
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.array_join(F.slice(ws, i, 2), " "))).alias("gram"))
+    c = (d.groupBy("doc_id", "tot", "gram")
+         .agg(F.count("*").alias("n"))
+         .withColumn("chars", F.col("n") * F.length("gram")))
+    dup = F.sum(F.when(F.col("n") > 1, F.col("chars")).otherwise(0))
+    return (c.groupBy("doc_id", "tot")
+            .agg(F.round(F.max("chars") / F.col("tot"), 6)
+                 .alias("top_bigram_frac"),
+                 F.round(dup / F.col("tot"), 6).alias("dup_bigram_frac"))
+            .select("doc_id", "top_bigram_frac", "dup_bigram_frac"))
+
+
+@register("domain_stats", """
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS n_tokens,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY source
+""")
+def domain_stats(spark, sf_dir):
+    """Per-domain corpus accounting (docs, tokens, mean length): the
+    first thing a data-mix ablation reads, and the input to per-domain
+    sampling weights. One groupBy with map-side partial aggregation —
+    20 domains here, millions at 100 TB, both fine."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+
+
+_DOMAIN_CAP = 10
+
+
+@register("domain_cap", f"""
+WITH r AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                  AS rn
+           FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= {_DOMAIN_CAP}
+""")
+def domain_cap(spark, sf_dir):
+    """Per-domain document cap: keep at most N docs per domain, drawn by
+    md5-of-id order (deterministic, rerunnable byte-identically — no
+    rand()). The standard guard against one boilerplate-heavy domain
+    dominating the training mix. One domain-partitioned window; a viral
+    domain at 100 TB is exactly the case row_number-within-partition
+    handles without a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")))
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _DOMAIN_CAP)
+            .select("doc_id", "source"))
+
+
+_WIN_WORDS = 8
+
+
+@register("window_dedup", f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g0 AS (SELECT doc_id, unnest([md5(array_to_string(ws[i:i+{_WIN_WORDS - 1}],
+                                                  ' '))
+                              for i in range(1, len(ws) - {_WIN_WORDS - 2})])
+           AS win
+       FROM w),
+g AS (SELECT DISTINCT doc_id, win FROM g0),
+hot AS (SELECT win FROM g GROUP BY win HAVING count(*) > 1)
+SELECT doc_id, count(*) AS n_shared_windows
+FROM g JOIN hot USING (win)
+GROUP BY doc_id
+""")
+def window_dedup(spark, sf_dir):
+    """Cross-document exact substring-window dedup (the sliding-window
+    form of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): every 8-word window is fingerprinted; a window
+    seen in more than one document marks all its holders as sharing
+    copied spans. Catches partial/embedded duplication that whole-doc
+    and paragraph dedup both miss. Scale shape: only 16-byte window
+    digests enter the exchange (never window text), the per-doc DISTINCT
+    is map-side-combinable, and the hot-window set is a fraction of the
+    corpus so the count join is AQE-broadcastable."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    wins = F.when(
+        F.size(ws) >= _WIN_WORDS,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (_WIN_WORDS - 1)),
+            lambda i: F.md5(F.encode(
+                F.array_join(F.slice(ws, i, _WIN_WORDS), " "), "utf-8")))
+    ).otherwise(F.array().cast("array<string>"))
+    g = (d.select("doc_id", F.explode(wins).alias("win")).distinct())
+    hot = (g.groupBy("win").agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") > 1).select("win"))
+    return (g.join(hot, "win")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared_windows")))

@@ -266,3 +266,18 @@ def test_cc_rounds_are_bounded_shuffles(spark):
     # checkpointed RDD, not `rounds` stacked joins
     assert phys.count("SortMergeJoin") + phys.count("BroadcastHashJoin") \
         == 0, phys
+
+
+def test_window_dedup_shuffles_digests_only(spark):
+    """window_dedup's scale contract: only 16-byte window digests enter
+    the exchanges (never the 8-word window text or the document text),
+    and the hot-window count pre-aggregates map-side."""
+    from findtextcenternet_spark.plans.training_data import window_dedup
+
+    out = window_dedup(spark, "/root/testdata/sf0.001")
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    for line in phys.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
