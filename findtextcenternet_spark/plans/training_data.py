@@ -817,9 +817,12 @@ def ngram_frequent(spark, sf_dir):
     ambiguity)."""
     d = _t(spark, sf_dir, "documents")
     ws = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 2),
-        lambda i: F.array_join(F.slice(ws, i, 3), " "))
+    grams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.array_join(F.slice(ws, i, 3), " "))
+    ).otherwise(F.array().cast("array<string>"))
     return (d.select(F.explode(grams).alias("gram"))
             .groupBy("gram").agg(F.count("*").alias("n"))
             .filter(F.col("n") >= 5))
@@ -845,9 +848,12 @@ def decontaminate_ngram(spark, sf_dir):
     broadcasts; the train side shuffles only (doc_id, gram)."""
     d = _t(spark, sf_dir, "documents")
     ws = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 3),
-        lambda i: F.array_join(F.slice(ws, i, 4), " "))
+    grams = F.when(
+        F.size(ws) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 3),
+            lambda i: F.array_join(F.slice(ws, i, 4), " "))
+    ).otherwise(F.array().cast("array<string>"))
     g = d.select("doc_id", F.explode(grams).alias("gram"))
     is_bench = F.col("doc_id") % 97 == 0
     bench = g.filter(is_bench).select("gram").distinct()
@@ -859,25 +865,35 @@ def decontaminate_ngram(spark, sf_dir):
             .select("doc_id", "n_chars"))
 
 
-@register("stratified_sample_by_lang", """
-WITH r AS (SELECT doc_id, lang,
-                  row_number() OVER (PARTITION BY lang
+def _md5_quota(d, part_col: str, quota: int):
+    """Deterministic per-stratum quota: keep the first `quota` docs per
+    `part_col` value in md5-of-id order — reproducible byte-identically,
+    unlike rand(). One stratum-partitioned window; no global sort. Shared
+    by stratified_sample_by_lang and domain_cap."""
+    w = Window.partitionBy(part_col).orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")))
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= quota)
+            .select("doc_id", part_col))
+
+
+def _md5_quota_sql(part_col: str, quota: int) -> str:
+    return f"""
+WITH r AS (SELECT doc_id, {part_col},
+                  row_number() OVER (PARTITION BY {part_col}
                                      ORDER BY md5(CAST(doc_id AS VARCHAR)))
                   AS rn
            FROM documents)
-SELECT doc_id, lang FROM r WHERE rn <= 30
-""")
+SELECT doc_id, {part_col} FROM r WHERE rn <= {quota}
+"""
+
+
+@register("stratified_sample_by_lang", _md5_quota_sql("lang", 30))
 def stratified_sample_by_lang(spark, sf_dir):
     """Deterministic stratified sampling: a per-language quota drawn by
     md5-of-id order — the reproducible per-stratum sample a data-mix
-    ablation needs (rerunnable byte-identically, unlike rand()). One
-    lang-partitioned window; no global sort."""
-    d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")))
-    return (d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 30)
-            .select("doc_id", "lang"))
+    ablation needs (rerunnable byte-identically, unlike rand())."""
+    return _md5_quota(_t(spark, sf_dir, "documents"), "lang", 30)
 
 
 # --------------------------------- repetition quality + domain + windows
@@ -945,27 +961,16 @@ def domain_stats(spark, sf_dir):
 _DOMAIN_CAP = 10
 
 
-@register("domain_cap", f"""
-WITH r AS (SELECT doc_id, source,
-                  row_number() OVER (PARTITION BY source
-                                     ORDER BY md5(CAST(doc_id AS VARCHAR)))
-                  AS rn
-           FROM documents)
-SELECT doc_id, source FROM r WHERE rn <= {_DOMAIN_CAP}
-""")
+@register("domain_cap", _md5_quota_sql("source", _DOMAIN_CAP))
 def domain_cap(spark, sf_dir):
     """Per-domain document cap: keep at most N docs per domain, drawn by
-    md5-of-id order (deterministic, rerunnable byte-identically — no
-    rand()). The standard guard against one boilerplate-heavy domain
-    dominating the training mix. One domain-partitioned window; a viral
-    domain at 100 TB is exactly the case row_number-within-partition
-    handles without a global sort."""
-    d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")))
-    return (d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _DOMAIN_CAP)
-            .select("doc_id", "source"))
+    md5-of-id order. The standard guard against one boilerplate-heavy
+    domain dominating the training mix; a viral domain at 100 TB is
+    exactly the case row_number-within-partition handles without a
+    global sort. Shares the quota kernel with stratified_sample_by_lang
+    (`_md5_quota`)."""
+    return _md5_quota(_t(spark, sf_dir, "documents"), "source",
+                      _DOMAIN_CAP)
 
 
 _WIN_WORDS = 8

@@ -268,16 +268,41 @@ def test_cc_rounds_are_bounded_shuffles(spark):
         == 0, phys
 
 
-def test_window_dedup_shuffles_digests_only(spark):
+def test_window_dedup_shuffles_digests_only(spark, reg):
     """window_dedup's scale contract: only 16-byte window digests enter
     the exchanges (never the 8-word window text or the document text),
     and the hot-window count pre-aggregates map-side."""
-    from findtextcenternet_spark.plans.training_data import window_dedup
-
-    out = window_dedup(spark, "/root/testdata/sf0.001")
-    phys = out._jdf.queryExecution().executedPlan().toString()
+    phys = _plan(spark, reg, "window_dedup")
     for line in phys.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_ngram_ops_tolerate_short_documents(spark, tmp_path):
+    """Docs with fewer words than the gram width must yield zero grams,
+    not a job abort: F.sequence(1, size-k) with size<k+1 produces a
+    DESCENDING sequence and slice(ws, 0, k) throws. The guard mirrors
+    the DuckDB oracles, whose range() is simply empty for short docs."""
+    import pandas as pd
+    from findtextcenternet_spark.plans.training_data import (
+        decontaminate_ngram, gopher_repetition, ngram_frequent,
+        window_dedup)
+
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(
+        ["", "one", "two words", "now three words",
+         "a benchmark doc with enough words to gram " * 3])]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    spark.createDataFrame(pdf).repartition(2).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    # no SparkRuntimeException on any op, and short docs contribute
+    # nothing / survive decontamination exactly like the oracle says
+    grams = ngram_frequent(spark, str(tmp_path)).collect()
+    assert all(len(r.gram.split(" ")) == 3 for r in grams)
+    kept = decontaminate_ngram(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in kept} >= {1, 2, 3}  # short docs kept
+    assert window_dedup(spark, str(tmp_path)).count() >= 0
+    assert gopher_repetition(spark, str(tmp_path)).count() >= 0
