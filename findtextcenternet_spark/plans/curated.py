@@ -1,7 +1,7 @@
 """Curated driver-facing registry: every operator, ≤50 entries.
 
 The driver's CORRECTNESS artifact records at most 50 ``queries()`` entries
-per round; the full registry has 74. For two rounds the overflow (the
+per round; the full registry has 77. For two rounds the overflow (the
 dedup/ANN/LLM-data ops and the pipeline entries) silently missed the hard
 gate (VERDICT r2 'next round' item 1). This module folds near-duplicate
 relational demos into merged entries — each merged query UNIONs its legs
@@ -92,6 +92,11 @@ LEGS: dict[str, list[tuple[str, str]]] = {
                      ("avg_chars", "d")],
     "domain_cap": [("doc_id", "s"), ("source", "s")],
     "window_dedup": [("doc_id", "s"), ("n_shared_windows", "d")],
+    "pack_sequences": [("source", "s"), ("bin", "s"), ("n_docs", "d"),
+                       ("bin_tokens", "d")],
+    "tfidf_top_terms": [("doc_id", "s"), ("term", "s"), ("score", "d")],
+    "lang_mix_weights": [("lang", "s"), ("n_docs", "d"), ("n_tokens", "d"),
+                         ("token_share", "d"), ("resample_weight", "d")],
     "doc_fingerprint": [("doc_id", "s"), ("fp", "s"), ("n_bytes", "d")],
     # rhash is a full-range int64 — a double cast would lose precision
     # above 2^53, so it rides as a string
@@ -128,13 +133,15 @@ MERGES: list[tuple[str, list[str]]] = [
                                "window_dedup"]),
     # r6: the corpus-curation set (C4-style gate, frequent n-grams,
     # benchmark decontamination, stratified sampling, Gopher repetition
-    # gate, per-domain stats + cap) and the two fingerprint demos,
-    # folded so the window stays at 50
+    # gate, per-domain stats + cap, sequence packing, tf-idf top terms,
+    # data-mix weights) and the two fingerprint demos, folded so the
+    # window stays at 50
     ("corpus_curation_ops", ["curation_filter", "ngram_frequent",
                              "decontaminate_ngram",
                              "stratified_sample_by_lang",
                              "gopher_repetition", "domain_stats",
-                             "domain_cap"]),
+                             "domain_cap", "pack_sequences",
+                             "tfidf_top_terms", "lang_mix_weights"]),
     ("doc_fingerprints", ["doc_fingerprint", "doc_rolling_hash"]),
 ]
 

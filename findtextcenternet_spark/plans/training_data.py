@@ -1014,3 +1014,111 @@ def window_dedup(spark, sf_dir):
     return (g.join(hot, "win")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_shared_windows")))
+
+
+# ------------------------------------ packing / tf-idf / data-mix weights
+
+_PACK_CAP = 512
+
+
+@register("pack_sequences", f"""
+WITH t AS (SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+           FROM documents),
+c AS (SELECT source, doc_id, tok,
+             sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM t)
+SELECT source, CAST(floor((cum - tok) / {_PACK_CAP}) AS BIGINT) AS bin,
+       count(*) AS n_docs, sum(tok) AS bin_tokens
+FROM c GROUP BY source, bin
+""")
+def pack_sequences(spark, sf_dir):
+    """Sequence packing: assign documents (in doc_id order, per source
+    shard) to fixed-capacity training bins by cumulative token count —
+    the standard pre-tokenization packing pass that turns a ragged
+    corpus into ~uniform training examples. A bin starts wherever the
+    running total crosses a capacity boundary, so the assignment is a
+    pure window expression: no greedy sequential loop, no driver state.
+    Scale shape: one window partitioned by the source shard (never
+    global) + one (source, bin) agg; both exchanges carry only ids and
+    two ints."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.size(F.split("text", " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (d.select("source", "doc_id", tok.alias("tok"))
+            .withColumn("bin", F.floor((F.sum("tok").over(w) - F.col("tok"))
+                                       / _PACK_CAP))
+            .groupBy("source", "bin")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("tok").alias("bin_tokens")))
+
+
+@register("tfidf_top_terms", """
+WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tfc.doc_id, tfc.term,
+             round(tfc.tf * ln(CAST(n.n AS DOUBLE) / dfc.df), 6) AS score
+      FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM s)
+SELECT doc_id, term, score FROM r WHERE rn <= 3
+""")
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document salient terms by tf-idf (top 3, ties broken by term
+    so the set is deterministic): the classic keyword/topic signal a
+    data-mix audit uses. Scale shape: term explode → (doc_id, term) agg
+    for tf; the document-frequency table is vocabulary-sized (tiny
+    relative to the corpus) and broadcasts; total-doc count is a 1-row
+    broadcast cross join; top-k is a doc_id-partitioned window, never
+    global."""
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfc = (terms.groupBy("term")
+           .agg(F.count_distinct("doc_id").alias("df")))
+    n = d.agg(F.count("*").alias("n"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (tf.join(F.broadcast(dfc), "term")
+            .crossJoin(F.broadcast(n))
+            .withColumn("score", score)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("doc_id", "term", "score"))
+
+
+@register("lang_mix_weights", """
+WITH per AS (SELECT lang, count(*) AS n_docs,
+                    sum(len(string_split(text, ' '))) AS n_tokens
+             FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_tokens) AS tot, count(*) AS n_langs FROM per)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / tot, 6) AS token_share,
+       round(tot / (n_langs * n_tokens), 6) AS resample_weight
+FROM per CROSS JOIN tot
+""")
+def lang_mix_weights(spark, sf_dir):
+    """Data-mix rebalancing weights: per-language token share and the
+    multiplicative resampling weight that moves the mix to uniform
+    (weight = target_share / actual_share). The arithmetic every
+    mixture-ablation recipe starts from. Scale shape: one lang groupBy
+    with map-side partials; the totals side is L rows (languages) → a
+    1-row broadcast cross join, no global window."""
+    d = _t(spark, sf_dir, "documents")
+    per = (d.groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.size(F.split("text", " "))).alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("tot"),
+                  F.count("*").alias("n_langs"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs", "n_tokens",
+                    F.round(F.col("n_tokens") / F.col("tot"), 6)
+                    .alias("token_share"),
+                    F.round(F.col("tot")
+                            / (F.col("n_langs") * F.col("n_tokens")), 6)
+                    .alias("resample_weight")))

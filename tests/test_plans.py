@@ -48,11 +48,37 @@ def test_topk_is_take_ordered(spark, reg):
     assert "Window" not in plan
 
 
+def _single_partition_consumers(phys: str) -> list[str]:
+    """For each `Exchange SinglePartition` in a physical-plan tree dump,
+    return the parent operator line (the nearest preceding line with
+    shallower tree indentation) — the operator that CONSUMES the
+    single-partition stream."""
+    lines = phys.splitlines()
+
+    def depth(s: str) -> int:
+        return len(s) - len(s.lstrip(" +-:*"))
+
+    parents = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = depth(ln)
+        for j in range(i - 1, -1, -1):
+            if lines[j].strip() and depth(lines[j]) < d:
+                parents.append(lines[j].strip(" +-:*"))
+                break
+    return parents
+
+
 def test_no_single_partition_window_anywhere(spark, reg):
-    """A Window with an empty partition spec moves the table to ONE
-    partition — banned in every registered query, including the merged
-    driver-facing curated entries (their UNION legs must not smuggle one
-    in either)."""
+    """A Window or global Sort with an empty partition spec moves the
+    TABLE to one partition — banned in every registered query, including
+    the merged driver-facing curated entries (their UNION legs must not
+    smuggle one in either). Scalar aggregates (HashAggregate with empty
+    keys) also plan an Exchange SinglePartition, but that exchange moves
+    ONE pre-reduced row per upstream partition, not the table — the
+    map-side-combine shape a global count(*)/sum() is supposed to have —
+    so those consumers are allowed."""
     from findtextcenternet_spark.plans import curated_registry
 
     seen = set()
@@ -62,11 +88,13 @@ def test_no_single_partition_window_anywhere(spark, reg):
                 continue
             seen.add(name)
             df = fn(spark, SF)
-            # executed plan: look for the explicit single-partition
-            # exchange that Spark inserts for empty partition specs
             phys = df._jdf.queryExecution().executedPlan().toString()
-            assert "Exchange SinglePartition" not in phys, (
-                f"{name} plans a single-partition exchange")
+            for parent in _single_partition_consumers(phys):
+                assert parent.startswith(("HashAggregate(keys=[]",
+                                          "SortAggregate(key=[]",
+                                          "ObjectHashAggregate(keys=[]")), (
+                    f"{name} single-partition exchange feeds a"
+                    f" non-scalar-aggregate operator: {parent}")
 
 
 def test_q1_partial_agg_and_codegen(spark, reg):
@@ -306,3 +334,24 @@ def test_ngram_ops_tolerate_short_documents(spark, tmp_path):
     assert {r.doc_id for r in kept} >= {1, 2, 3}  # short docs kept
     assert window_dedup(spark, str(tmp_path)).count() >= 0
     assert gopher_repetition(spark, str(tmp_path)).count() >= 0
+
+
+def test_single_partition_gate_still_catches_global_windows(spark):
+    """Negative control for the refined gate: a genuinely global window
+    (empty partition spec) must still be flagged — only scalar
+    aggregates are exempt."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    # a global running sum cannot be rewritten to TakeOrdered (a
+    # row_number+limit control would be — LimitPushDownThroughWindow)
+    bad = d.withColumn(
+        "cum", F.sum("n_chars").over(W.orderBy("doc_id")))
+    phys = bad._jdf.queryExecution().executedPlan().toString()
+    parents = _single_partition_consumers(phys)
+    assert parents, "global window lost its SinglePartition exchange"
+    assert not all(p.startswith(("HashAggregate(keys=[]",
+                                 "SortAggregate(key=[]",
+                                 "ObjectHashAggregate(keys=[]"))
+                   for p in parents)
