@@ -1,7 +1,7 @@
 """Curated driver-facing registry: every operator, ≤50 entries.
 
 The driver's CORRECTNESS artifact records at most 50 ``queries()`` entries
-per round; the full registry has 77. For two rounds the overflow (the
+per round; the full registry has 78. For two rounds the overflow (the
 dedup/ANN/LLM-data ops and the pipeline entries) silently missed the hard
 gate (VERDICT r2 'next round' item 1). This module folds near-duplicate
 relational demos into merged entries — each merged query UNIONs its legs
@@ -97,6 +97,8 @@ LEGS: dict[str, list[tuple[str, str]]] = {
     "tfidf_top_terms": [("doc_id", "s"), ("term", "s"), ("score", "d")],
     "lang_mix_weights": [("lang", "s"), ("n_docs", "d"), ("n_tokens", "d"),
                          ("token_share", "d"), ("resample_weight", "d")],
+    "curation_e2e": [("source", "s"), ("bin", "s"), ("n_docs", "d"),
+                     ("bin_tokens", "d")],
     "doc_fingerprint": [("doc_id", "s"), ("fp", "s"), ("n_bytes", "d")],
     # rhash is a full-range int64 — a double cast would lose precision
     # above 2^53, so it rides as a string
@@ -141,7 +143,8 @@ MERGES: list[tuple[str, list[str]]] = [
                              "stratified_sample_by_lang",
                              "gopher_repetition", "domain_stats",
                              "domain_cap", "pack_sequences",
-                             "tfidf_top_terms", "lang_mix_weights"]),
+                             "tfidf_top_terms", "lang_mix_weights",
+                             "curation_e2e"]),
     ("doc_fingerprints", ["doc_fingerprint", "doc_rolling_hash"]),
 ]
 

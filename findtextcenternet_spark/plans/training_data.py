@@ -1122,3 +1122,89 @@ def lang_mix_weights(spark, sf_dir):
                     F.round(F.col("tot")
                             / (F.col("n_langs") * F.col("n_tokens")), 6)
                     .alias("resample_weight")))
+
+
+@register("curation_e2e", f"""
+WITH fp AS (SELECT md5(text) AS f, min(doc_id) AS keeper
+            FROM documents GROUP BY md5(text)),
+gated AS (
+  SELECT d.doc_id, d.source, d.text,
+         len(string_split(d.text, ' ')) AS tok
+  FROM documents d JOIN fp ON md5(d.text) = fp.f
+  WHERE d.doc_id = fp.keeper AND d.n_chars BETWEEN 100 AND 520
+        AND len(string_split(d.text, ' ')) >= 20 AND d.doc_id % 97 <> 0),
+bg AS (SELECT DISTINCT unnest(
+         [array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws) - 2)])
+         AS gram
+       FROM (SELECT string_split(text, ' ') AS ws FROM documents
+             WHERE doc_id % 97 = 0)),
+hits AS (SELECT DISTINCT g.doc_id FROM (
+           SELECT doc_id, unnest(
+             [array_to_string(ws[i:i+3], ' ')
+              for i in range(1, len(ws) - 2)]) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM gated)) g
+         JOIN bg USING (gram)),
+clean AS (SELECT doc_id, source, tok FROM gated
+          WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+capped AS (SELECT doc_id, source, tok FROM (
+             SELECT doc_id, source, tok,
+                    row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+             FROM clean) WHERE rn <= {_DOMAIN_CAP}),
+packed AS (SELECT source, doc_id, tok,
+                  sum(tok) OVER (PARTITION BY source
+                                 ORDER BY doc_id) AS cum
+           FROM capped)
+SELECT source, CAST(floor((cum - tok) / {_PACK_CAP}) AS BIGINT) AS bin,
+       count(*) AS n_docs, sum(tok) AS bin_tokens
+FROM packed GROUP BY source, bin
+""")
+def curation_e2e(spark, sf_dir):
+    """The composed curation chain a real training-data run executes as
+    ONE job: C4-style gate (exact-dedup keeper + length/word bounds) →
+    benchmark decontamination (drop docs sharing a word 4-gram with the
+    held-out set) → per-domain cap → fixed-token sequence packing. The
+    point is composition: each stage consumes the previous DataFrame
+    lazily, so Catalyst fuses the whole chain into one plan — the gate's
+    predicates reach the scan, the benchmark gram set broadcasts, and
+    the cap/pack windows stay partitioned by the source shard. At 100 TB
+    this is the job; the standalone entries are its unit demos."""
+    d = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+    fp = (d.groupBy(F.md5(F.encode("text", "utf-8")).alias("f"))
+          .agg(F.min("doc_id").alias("keeper")))
+    ws = F.split("text", " ")
+    gated = (d.withColumn("f", F.md5(F.encode("text", "utf-8")))
+             .join(fp, "f")
+             .filter((F.col("doc_id") == F.col("keeper"))
+                     & F.col("n_chars").between(100, 520)
+                     & (F.size(ws) >= 20) & ~is_bench)
+             .select("doc_id", "source", "text",
+                     F.size(ws).alias("tok")))
+    grams4 = F.when(
+        F.size(ws) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 3),
+            lambda i: F.array_join(F.slice(ws, i, 4), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (d.filter(is_bench)
+          .select(F.explode(grams4).alias("gram")).distinct())
+    hits = (gated.select("doc_id", F.explode(grams4).alias("gram"))
+            .join(F.broadcast(bg), "gram", "left_semi")
+            .select("doc_id").distinct())
+    clean = gated.join(hits, "doc_id", "left_anti")
+    wcap = Window.partitionBy("source").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")))
+    capped = (clean.withColumn("rn", F.row_number().over(wcap))
+              .filter(F.col("rn") <= _DOMAIN_CAP)
+              .select("doc_id", "source", "tok"))
+    wpack = Window.partitionBy("source").orderBy("doc_id")
+    return (capped
+            .withColumn("bin",
+                        F.floor((F.sum("tok").over(wpack) - F.col("tok"))
+                                / _PACK_CAP))
+            .groupBy("source", "bin")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("tok").alias("bin_tokens")))
