@@ -719,10 +719,26 @@ def drop_repeated_paragraphs(docs, id_col: str = "url",
     # metachar sep ('|', '. ') splits literally and round-trips with the
     # literal array_join below
     sep_re = "\\Q" + sep + "\\E"
+    paras = docs.select(F.col(id_col),
+                        F.split(F.col(text_col), sep_re).alias("_paras"))
+    return drop_repeated_paragraph_array(paras, id_col=id_col,
+                                         paras_col="_paras", sep=sep,
+                                         max_count=max_count)
+
+
+def drop_repeated_paragraph_array(docs, id_col: str = "url",
+                                  paras_col: str = "_paras",
+                                  sep: str = "\n", max_count: int = 1):
+    """Array-grain core of :func:`drop_repeated_paragraphs`: ``paras_col``
+    is an already-split ``array<string>`` of paragraphs, so the caller
+    controls the segmentation exactly — a paragraph whose text happens to
+    CONTAIN the output separator is still one unit (a join-then-resplit
+    round trip would shatter it and diverge from any oracle that chunks
+    the array directly). Same scale shape and return schema as the
+    string-grain wrapper."""
     meta = (docs.select(
                 F.col(id_col),
-                F.posexplode(F.split(F.col(text_col), sep_re))
-                .alias("pos", "para"))
+                F.posexplode(F.col(paras_col)).alias("pos", "para"))
             .select(id_col, "pos",
                     F.md5(F.encode("para", "utf-8")).alias("fp")))
     hot = (meta.groupBy("fp").agg(F.count("*").alias("_n"))
@@ -730,10 +746,10 @@ def drop_repeated_paragraphs(docs, id_col: str = "url",
     drops = (meta.join(hot, "fp")
              .groupBy(id_col)
              .agg(F.collect_list("pos").alias("_drop_pos")))
-    ws = F.split(F.col(text_col), sep_re)
     drop_pos = F.coalesce(F.col("_drop_pos"),
                           F.array().cast("array<int>"))
-    kept = F.filter(ws, lambda w, i: ~F.array_contains(drop_pos, i))
+    kept = F.filter(F.col(paras_col),
+                    lambda w, i: ~F.array_contains(drop_pos, i))
     return (docs.join(drops, id_col, "left")
             .select(F.col(id_col),
                     F.nullif(F.array_join(kept, sep), F.lit(""))
@@ -772,9 +788,11 @@ def dedup_paragraph(spark, sf_dir):
     chunks = F.transform(
         F.sequence(F.lit(1), F.size(ws), F.lit(_PARA_WORDS)),
         lambda i: F.array_join(F.slice(ws, i, _PARA_WORDS), " "))
-    pseudo = docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
-    return drop_repeated_paragraphs(pseudo, id_col="doc_id",
-                                    max_count=_PARA_MAX_N)
+    # the array-grain core: chunks whose words CONTAIN a newline stay one
+    # unit, exactly like the oracle's direct array chunking
+    pseudo = docs.select("doc_id", chunks.alias("_paras"))
+    return drop_repeated_paragraph_array(pseudo, id_col="doc_id",
+                                         max_count=_PARA_MAX_N)
 
 
 # ------------------------------------------- corpus curation operators

@@ -1,0 +1,82 @@
+"""Adversarial-text parity fuzz for the corpus-curation ops.
+
+The sf0.01 oracle corpus is well-formed prose; these ops' engine-parity
+risk lives in the edges — empty strings, consecutive/leading spaces
+(split(' ') emits empty tokens in BOTH engines, but only if both are fed
+the same), unicode, single-word and repeated-word docs. This test writes
+a seeded adversarial documents table, runs every curation-family Spark
+query against its own DuckDB oracle SQL on that table, and requires the
+same canonicalized row multiset — the check_oracle.py compare, off the
+happy-path corpus."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+OPS = [
+    "curation_filter", "ngram_frequent", "decontaminate_ngram",
+    "stratified_sample_by_lang", "gopher_repetition", "domain_stats",
+    "domain_cap", "window_dedup", "pack_sequences", "tfidf_top_terms",
+    "lang_mix_weights", "curation_e2e", "dedup_exact", "dedup_paragraph",
+]
+
+
+def _adversarial_docs(seed: int = 7, n: int = 120) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    vocab = ["the", "data", "spark", "Ünïcøde", "文字", "a", "--", "x1",
+             "spark", "the"]
+    rows = []
+    for i in range(n):
+        kind = i % 8
+        if kind == 0:
+            text = ""
+        elif kind == 1:
+            text = "solo"
+        elif kind == 2:
+            text = "double  space   run"          # empty tokens
+        elif kind == 3:
+            text = " leading and trailing "        # edge empties
+        elif kind == 4:
+            text = " ".join(["rep"] * int(rng.integers(2, 40)))
+        elif kind == 5:
+            text = " ".join(rng.choice(vocab, int(rng.integers(4, 60))))
+        elif kind == 6:                            # near-dup pair fodder
+            text = "shared shingle body " * 9 + f"tail{i % 3}"
+        else:
+            text = " ".join(rng.choice(vocab, 25)) + "\n\n" + \
+                " ".join(rng.choice(vocab, 25))
+        rows.append((i, text, ["en", "fr", "zh"][i % 3],
+                     f"s{i % 4}", len(text)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzzdocs")
+    pdf = _adversarial_docs()
+    spark.createDataFrame(pdf).repartition(3).write.parquet(
+        str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", OPS)
+def test_curation_parity_on_adversarial_texts(spark, fuzz_dir, name):
+    import sys
+    sys.path.insert(0, "scripts")
+    from check_oracle import canon
+
+    from findtextcenternet_spark.plans import full_registry
+
+    fn, sql = full_registry()[name]
+    got = canon(fn(spark, fuzz_dir).toPandas())
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part-file glob
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{fuzz_dir}/documents.parquet/*.parquet'")
+    want = canon(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, atol=1e-6)
