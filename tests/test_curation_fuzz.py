@@ -14,12 +14,36 @@ import numpy as np
 import pandas as pd
 import pytest
 
+# every oracle-checked registry entry whose SQL reads ONLY the documents
+# table (tests/test_curation_fuzz.py asserts this list is exhaustive)
 OPS = [
-    "curation_filter", "ngram_frequent", "decontaminate_ngram",
-    "stratified_sample_by_lang", "gopher_repetition", "domain_stats",
-    "domain_cap", "window_dedup", "pack_sequences", "tfidf_top_terms",
-    "lang_mix_weights", "curation_e2e", "dedup_exact", "dedup_paragraph",
+    "curation_e2e", "curation_filter", "decontaminate_ngram",
+    "dedup_clusters", "dedup_exact", "dedup_lsh_verified",
+    "dedup_minhash_lsh", "dedup_minhash_signature", "dedup_ngram_jaccard",
+    "dedup_paragraph", "dedup_simhash", "doc_fingerprint",
+    "doc_rolling_hash", "domain_cap", "domain_stats", "f4_ruby_decode",
+    "f5_ruby_html_encode", "f6_whitespace_classify", "f7_space_normalize",
+    "f8_script_class", "f9_utf32_codepoints", "gopher_repetition",
+    "lang_id", "lang_mix_weights", "ngram_frequent", "pack_sequences",
+    "quality_score", "stratified_sample_by_lang", "tfidf_top_terms",
+    "token_count_bpe", "token_count_total", "window_dedup",
 ]
+
+
+def test_ops_list_is_exhaustive():
+    """OPS must track the registry: every oracle-checked entry reading
+    only the documents table is fuzzed here."""
+    import re
+
+    from findtextcenternet_spark.plans import full_registry
+
+    others = ("region nation customer supplier part orders lineitem "
+              "events embeddings").split()
+    expect = sorted(
+        name for name, (_fn, sql) in full_registry().items()
+        if sql and "documents" in sql
+        and not any(re.search(rf"\b{t}\b", sql) for t in others))
+    assert sorted(OPS) == expect
 
 
 def _adversarial_docs(seed: int = 7, n: int = 120) -> pd.DataFrame:
