@@ -274,17 +274,21 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
   SELECT e.vec_id, e.label,
          list_dot_product(e.embedding, q.qv) /
-         (sqrt(list_dot_product(e.embedding, e.embedding)) *
-          sqrt(list_dot_product(q.qv, q.qv))) AS sim
+         nullif(sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(q.qv, q.qv)), 0) AS sim
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
 r AS (SELECT vec_id, label, sim,
-             row_number() OVER (ORDER BY sim DESC, vec_id) AS rn FROM s)
+             row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
+      FROM s WHERE sim IS NOT NULL)
 SELECT vec_id, label, round(sim, 4) AS cos_sim FROM r WHERE rn <= 10
 """)
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k vs a query vector: the exact baseline for
     ANN. zip_with + aggregate keeps the dot product JVM-side; the query
-    side is a 1-row broadcast."""
+    side is a 1-row broadcast. A zero-norm vector has no direction —
+    cosine is undefined, so the denominator is nullif-guarded and NULL
+    sims are dropped (under ANSI mode a raw 0/0 would ABORT the whole
+    job on one poison row)."""
     e = _t(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") == 0)
          .select(F.col("embedding").alias("qv")))
@@ -295,7 +299,9 @@ def ann_cosine_topk(spark, sf_dir):
     n2 = F.sqrt(F.expr("aggregate(transform(qv, x -> x * x), "
                        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
     s = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-         .select("vec_id", "label", (dot / (n1 * n2)).alias("sim")))
+         .select("vec_id", "label",
+                 (dot / F.nullif(n1 * n2, F.lit(0.0))).alias("sim"))
+         .filter(F.col("sim").isNotNull()))
     # orderBy + limit plans as TakeOrderedAndProject (per-partition top-k,
     # merge on driver) — no single-partition global window at scale
     return (s.orderBy(F.desc("sim"), "vec_id").limit(10)
@@ -487,10 +493,11 @@ WITH n AS (
   FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.embedding, b.embedding)
-             / (a.nrm * b.nrm), 4) AS cos_sim
+             / nullif(a.nrm * b.nrm, 0), 4) AS cos_sim
 FROM n a JOIN n b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.25
+WHERE list_dot_product(a.embedding, b.embedding)
+      / nullif(a.nrm * b.nrm, 0) >= 0.25
 """)
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup: candidate pairs blocked by label (the
@@ -507,7 +514,9 @@ def dedup_embedding_cosine(spark, sf_dir):
     dot = F.expr("aggregate(zip_with(a.embedding, b.embedding, "
                  "(x, y) -> CAST(x AS DOUBLE) * y), "
                  "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    # nullif: a zero-norm side makes cosine undefined → NULL, which the
+    # >= threshold drops in both engines (ANSI 0/0 would abort the job)
+    sim = dot / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0))
     return (a.join(b, (F.col("a.label") == F.col("b.label"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .withColumn("_sim", sim)
@@ -535,18 +544,18 @@ q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 qcell AS (
   SELECT cell FROM cent2, q
   ORDER BY list_dot_product(centroid, qv) /
-           (sqrt(list_dot_product(centroid, centroid)) *
-            sqrt(list_dot_product(qv, qv))) DESC, cell
+           nullif(sqrt(list_dot_product(centroid, centroid)) *
+                  sqrt(list_dot_product(qv, qv)), 0) DESC, cell
   LIMIT 1),
 cand AS (
   SELECT e.vec_id, e.label,
          list_dot_product(e.embedding, q.qv) /
-         (sqrt(list_dot_product(e.embedding, e.embedding)) *
-          sqrt(list_dot_product(q.qv, q.qv))) AS sim
+         nullif(sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(q.qv, q.qv)), 0) AS sim
   FROM embeddings e CROSS JOIN q
   WHERE e.label = (SELECT cell FROM qcell) AND e.vec_id <> 0)
 SELECT vec_id, label, round(sim, 4) AS cos_sim
-FROM cand ORDER BY sim DESC, vec_id LIMIT 5
+FROM cand WHERE sim IS NOT NULL ORDER BY sim DESC, vec_id LIMIT 5
 """)
 def ann_ivf_probe(spark, sf_dir):
     """IVF-style ANN probe: coarse cells = per-label centroids (the trained
@@ -568,7 +577,8 @@ def ann_ivf_probe(spark, sf_dir):
                      F.expr("transform(pa, x -> x.av)").alias("centroid")))
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     csim = (F.expr(dot_q.format(a="centroid", b="qv"))
-            / (F.expr(nrm.format(a="centroid")) * F.expr(nrm.format(a="qv"))))
+            / F.nullif(F.expr(nrm.format(a="centroid"))
+                       * F.expr(nrm.format(a="qv")), F.lit(0.0)))
     qcell = (cents.crossJoin(F.broadcast(q))
              .orderBy(F.desc(csim), "cell").limit(1)
              .select("cell"))
@@ -576,7 +586,8 @@ def ann_ivf_probe(spark, sf_dir):
             .join(F.broadcast(qcell), e.label == F.col("cell"), "left_semi")
             .crossJoin(F.broadcast(q)))
     sim = (F.expr(dot_q.format(a="embedding", b="qv"))
-           / (F.expr(nrm.format(a="embedding")) * F.expr(nrm.format(a="qv"))))
+           / F.nullif(F.expr(nrm.format(a="embedding"))
+                      * F.expr(nrm.format(a="qv")), F.lit(0.0)))
     return (cand.withColumn("_sim", sim)
             .orderBy(F.desc("_sim"), "vec_id").limit(5)
             .select("vec_id", "label", F.round("_sim", 4).alias("cos_sim")))
