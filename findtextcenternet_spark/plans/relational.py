@@ -358,7 +358,7 @@ def t2_topk_per_group(spark, sf_dir):
 @register("t4_neighborhood_peak", """
 WITH t AS (
   SELECT event_id, user_id, value,
-         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         max(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS nmax
   FROM events)
 SELECT event_id, user_id, round(value, 4) AS value
@@ -380,7 +380,7 @@ def t4_neighborhood_peak(spark, sf_dir):
 WITH t AS (
   SELECT user_id, event_id, value,
          lag(value) OVER (PARTITION BY user_id
-                          ORDER BY ts, event_id) AS prev_value
+                          ORDER BY ts NULLS FIRST, event_id) AS prev_value
   FROM events)
 SELECT user_id, event_id, round(value - prev_value, 4) AS dv
 FROM t WHERE prev_value IS NOT NULL AND abs(value - prev_value) > 150.0
@@ -625,14 +625,14 @@ def q1_pricing_summary(spark, sf_dir):
 WITH t AS (
   SELECT user_id, event_id, ts,
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                  IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events),
 s AS (
   SELECT user_id, event_id,
-         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
   FROM t)
 SELECT user_id, sess_id, count(*) AS n_events
@@ -688,12 +688,17 @@ WITH sep AS (
 SELECT e.event_id, e.user_id
 FROM events e
 WHERE e.event_type = 'view'
-  AND CAST(floor(e.value / 10) AS BIGINT) NOT IN (SELECT cell FROM sep)
+  AND NOT EXISTS (SELECT 1 FROM sep
+                  WHERE sep.cell = CAST(floor(e.value / 10) AS BIGINT))
 """)
 def p7_separator_antijoin(spark, sf_dir):
     """P7 separator-mask filter (process_ocr_base.py:611-620): drop boxes
     whose center cell is occupied by a separator — a left-anti join of box
-    cells against the (small, broadcastable) separator-cell set."""
+    cells against the (small, broadcastable) separator-cell set. The
+    oracle is NOT EXISTS, not NOT IN: a NULL cell (NULL value) matches no
+    separator and is KEPT — anti-join semantics on both engines (NOT IN
+    would silently drop every row once sep contains a NULL, and drops
+    NULL-cell rows always)."""
     e = _t(spark, sf_dir, "events")
     cell = F.floor(F.col("value") / 10).cast("long")
     sep = (e.filter(F.col("event_type") == "click")
