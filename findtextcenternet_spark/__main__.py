@@ -7,6 +7,7 @@
         [--run-id ID] [--streaming]
         [--index] [--cdx-mime TYPE] [--cdx-prefix SURT]
         [--near-dedup] [--para-dedup N] [--wet-out DIR]
+        [--quality-gate] [--host-cap N]
 
 Batch mode runs one resumable lineage-tracked extraction pass (re-invoking
 with the same OUT_DIR extracts only not-yet-done urls). ``--format warc``
@@ -70,11 +71,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--wet-out", default=None, metavar="DIR",
                     help="write the final (deduped) corpus as WET shards "
                          "to DIR")
+    ap.add_argument("--quality-gate", action="store_true",
+                    help="after extraction: drop too-short or "
+                         "too-repetitive docs (Gopher-style gate)")
+    ap.add_argument("--host-cap", type=int, default=None, metavar="N",
+                    help="after dedup: keep at most N docs per host "
+                         "(md5-of-url order, deterministic)")
     args = ap.parse_args(argv)
     if args.index and args.input_format != "warc":
         ap.error("--index requires --format warc")
     corpus_flags = (args.near_dedup or args.para_dedup is not None
-                    or args.wet_out)
+                    or args.wet_out or args.quality_gate
+                    or args.host_cap is not None)
     if corpus_flags and args.streaming:
         ap.error("--near-dedup/--para-dedup/--wet-out are corpus-wide "
                  "batch passes; they cannot combine with --streaming "
@@ -130,7 +138,7 @@ def main(argv: list[str] | None = None) -> int:
             spark.stop()
         return 0
 
-    if args.near_dedup or args.para_dedup is not None or args.wet_out:
+    if corpus_flags:
         # the end-to-end crawl→corpus flagship: indexed fetch → extract
         # (resumable) → paragraph boilerplate drop → transitive near-dup
         # cluster dedup → WET corpus, one invocation
@@ -142,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
             wet_dir=args.wet_out, cdx_mime=args.cdx_mime,
             cdx_prefix=args.cdx_prefix, near_dedup=args.near_dedup,
             para_dedup_max=args.para_dedup,
+            quality_gate=args.quality_gate, host_cap=args.host_cap,
             num_partitions=args.partitions, run_id=args.run_id)
         print(json.dumps({"mode": "crawl_to_corpus", **summary}))
         if owns_session:

@@ -3,10 +3,12 @@
 Chains the layers that exist separately into ONE pipeline (VERDICT r5
 item 2): CDX-indexed selective fetch (only the addressed archive bytes
 move) → resumable lineage-tracked extraction → paragraph-grain
-boilerplate drop → near-dup transitive cluster dedup (MinHash LSH →
-Jaccard verify → connected components, one canonical keeper per
-cluster) → WET shards (the format Common Crawl publishes extracted
-text in).
+boilerplate drop → Gopher-style quality gate (word floor + repetition
+ceiling, rejects tagged with a reason) → near-dup transitive cluster
+dedup (MinHash LSH → Jaccard verify → connected components, one
+canonical keeper per cluster) → per-host cap (deterministic md5-of-url
+draw) → WET shards (the format Common Crawl publishes extracted text
+in).
 
 Reference analogue: the repo's own training-data harvest loop
 (train_data3/make_data.py and get_aozora.py — fetch, extract, save) is
@@ -63,6 +65,55 @@ def near_dup_filter(docs: DataFrame, id_col: str = "url",
     return docs.join(losers, id_col, "left_anti"), clusters
 
 
+def quality_gate_filter(docs: DataFrame, id_col: str = "url",
+                        text_col: str = "text", min_words: int = 5,
+                        max_top_bigram_frac: float = 0.2
+                        ) -> tuple[DataFrame, DataFrame]:
+    """(kept_docs, rejected): Gopher-style quality gate over any
+    (id, text) frame — drop docs below a word-count floor or above a
+    repetition ceiling (fraction of characters in the most frequent word
+    bigram, :func:`repetition_stats_df`). The word floor is a row-local
+    predicate; the repetition side joins only (id, frac) metadata back,
+    so document text crosses the wire once at most (and the rejected
+    frame carries a ``reason`` for auditability)."""
+    from .plans.training_data import repetition_stats_df
+
+    too_short = F.size(F.split(F.col(text_col), " ")) < min_words
+    rep = repetition_stats_df(docs.filter(~too_short), id_col=id_col,
+                              text_col=text_col)
+    too_repetitive = (rep.filter(F.col("top_bigram_frac")
+                                 > max_top_bigram_frac)
+                      .select(id_col))
+    short = (docs.filter(too_short)
+             .select(id_col, F.lit("too_short").alias("reason")))
+    repet = too_repetitive.select(
+        id_col, F.lit("too_repetitive").alias("reason"))
+    kept = (docs.filter(~too_short)
+            .join(too_repetitive, id_col, "left_anti"))
+    return kept, short.unionByName(repet)
+
+
+def host_cap_filter(docs: DataFrame, cap: int, id_col: str = "url",
+                    ) -> DataFrame:
+    """Keep at most ``cap`` docs per host, drawn by md5-of-id order
+    (deterministic, rerunnable — no rand()): the guard against one viral
+    or boilerplate-heavy site dominating the corpus mix. Host =
+    parse_url(url, 'HOST'); scheme-less or unparseable ids fall back to
+    the id itself (each its own singleton "host", never dropped by the
+    cap). One host-partitioned window — exactly the shape that handles
+    a hot host at 100 TB without a global sort."""
+    from pyspark.sql.window import Window
+
+    host = F.coalesce(F.expr(f"parse_url({id_col}, 'HOST')"),
+                      F.col(id_col))
+    w = Window.partitionBy("_host").orderBy(
+        F.md5(F.encode(F.col(id_col).cast("string"), "utf-8")))
+    return (docs.withColumn("_host", host)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_host", "_rn"))
+
+
 def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
                     input_format: str = "warc",
                     wet_dir: str | None = None,
@@ -70,6 +121,8 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
                     cdx_prefix: str | None = None,
                     near_dedup: bool = True,
                     para_dedup_max: int | None = None,
+                    quality_gate: bool = False,
+                    host_cap: int | None = None,
                     num_partitions: int | None = None,
                     run_id: str | None = None,
                     store=None) -> dict:
@@ -113,7 +166,8 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
     summary = run_extract(pages, out_dir, run_id=run_id,
                           num_partitions=num_partitions, store=store)
     summary = {**summary, "near_dup_clustered": 0, "near_dup_dropped": 0,
-               "paragraphs_dropped": 0}
+               "paragraphs_dropped": 0, "quality_rejected": 0,
+               "host_capped": 0}
 
     # an input filter can legitimately select NOTHING (e.g. a mime with
     # no captures) — an empty store has no post-passes to run
@@ -135,13 +189,20 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
         # pin the cleaned frame: the n_dropped agg, the LSH/cluster pass
         # and the WET write would otherwise each re-run the corpus-wide
         # paragraph pass — three full passes over the store
-        pinned = docs = docs.persist()
+        docs = docs.persist()
         summary["paragraphs_dropped"] = int(
             cleaned.agg(F.sum("n_dropped")).collect()[0][0] or 0)
     else:
-        pinned = docs = docs.persist()
+        docs = docs.persist()
+    pins = [docs]
 
     try:
+        if quality_gate:
+            # gate AFTER the boilerplate drop (repetition is measured on
+            # the text that would actually be trained on)
+            docs, rejected = quality_gate_filter(docs)
+            summary["quality_rejected"] = rejected.count()
+
         if near_dedup:
             docs, clusters = near_dup_filter(docs)
             stats = clusters.agg(
@@ -150,6 +211,15 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
                 .alias("drop")).collect()[0]
             summary["near_dup_clustered"] = int(stats["n"])
             summary["near_dup_dropped"] = int(stats["drop"] or 0)
+
+        if host_cap is not None:
+            # pin: the before/after counts and the WET write would each
+            # re-run the upstream gate+dedup chain otherwise
+            docs = docs.persist()
+            pins.append(docs)
+            before = docs.count()
+            docs = host_cap_filter(docs, host_cap)
+            summary["host_capped"] = before - docs.count()
 
         if wet_dir is not None:
             from .sources.warc import write_wet
@@ -160,5 +230,6 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
         else:
             summary["corpus_docs"] = docs.count()
     finally:
-        pinned.unpersist()
+        for p in pins:
+            p.unpersist()
     return summary

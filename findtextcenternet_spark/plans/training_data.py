@@ -943,29 +943,38 @@ FROM c GROUP BY doc_id, tot
 """)
 def gopher_repetition(spark, sf_dir):
     """Within-document repetition stats a la Gopher (Rae et al. 2021,
-    table A1): fraction of characters in the most frequent word bigram
-    and in all duplicated bigrams. Repetitive machine-generated pages
-    score high and get gated out before training. Per-doc explode +
-    two-level agg — the gram shuffle key is (doc_id, gram), so the
-    stage is embarrassingly parallel per document and AQE coalesces;
-    no corpus-wide state. Docs shorter than one bigram are out of the
-    metric's domain and are filtered in BOTH engines."""
-    d = _t(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    d = d.filter(F.size(ws) >= 2).select(
-        "doc_id", F.length("text").alias("tot"),
+    table A1) over the documents table — see
+    :func:`repetition_stats_df` (shared with the crawl pipeline's
+    quality gate)."""
+    return repetition_stats_df(_t(spark, sf_dir, "documents"),
+                               id_col="doc_id")
+
+
+def repetition_stats_df(docs, id_col: str = "url",
+                        text_col: str = "text"):
+    """Within-document repetition stats over any (id, text) frame:
+    fraction of characters in the most frequent word bigram and in all
+    duplicated bigrams. Repetitive machine-generated pages score high
+    and get gated out before training. Per-doc explode + two-level agg
+    — the gram shuffle key is (id, gram), so the stage is
+    embarrassingly parallel per document and AQE coalesces; no
+    corpus-wide state. Docs shorter than one bigram are out of the
+    metric's domain and are filtered."""
+    ws = F.split(text_col, " ")
+    d = docs.filter(F.size(ws) >= 2).select(
+        id_col, F.length(text_col).alias("tot"),
         F.explode(F.transform(
             F.sequence(F.lit(1), F.size(ws) - 1),
             lambda i: F.array_join(F.slice(ws, i, 2), " "))).alias("gram"))
-    c = (d.groupBy("doc_id", "tot", "gram")
+    c = (d.groupBy(id_col, "tot", "gram")
          .agg(F.count("*").alias("n"))
          .withColumn("chars", F.col("n") * F.length("gram")))
     dup = F.sum(F.when(F.col("n") > 1, F.col("chars")).otherwise(0))
-    return (c.groupBy("doc_id", "tot")
+    return (c.groupBy(id_col, "tot")
             .agg(F.round(F.max("chars") / F.col("tot"), 6)
                  .alias("top_bigram_frac"),
                  F.round(dup / F.col("tot"), 6).alias("dup_bigram_frac"))
-            .select("doc_id", "top_bigram_frac", "dup_bigram_frac"))
+            .select(id_col, "top_bigram_frac", "dup_bigram_frac"))
 
 
 @register("domain_stats", """

@@ -219,3 +219,71 @@ def test_cli_flag_guards(tmp_path):
         with pytest.raises(SystemExit) as ei:
             main(argv)
         assert ei.value.code == 2, argv
+
+
+def test_quality_gate_filter_unit(spark):
+    """The gate drops exactly the too-short and too-repetitive docs,
+    tags each rejection with a reason, and passes everything else
+    through byte-untouched."""
+    from findtextcenternet_spark.crawl import quality_gate_filter
+
+    rows = [
+        ("u/ok", _text(1, 60)),
+        ("u/short", "three words only"),
+        ("u/repeat", "spam ham " * 40),          # one bigram dominates
+        ("u/ok2", _text(2, 60)),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text"]))
+    kept, rejected = quality_gate_filter(docs, min_words=5,
+                                         max_top_bigram_frac=0.2)
+    assert {r.url for r in kept.collect()} == {"u/ok", "u/ok2"}
+    rej = {r.url: r.reason for r in rejected.collect()}
+    assert rej == {"u/short": "too_short", "u/repeat": "too_repetitive"}
+    # kept text is identical to the input (the gate never rewrites)
+    orig = dict(rows)
+    for r in kept.collect():
+        assert r.text == orig[r.url]
+
+
+def test_host_cap_filter_unit(spark):
+    """At most N docs per host survive, chosen deterministically
+    (md5-of-url order — two runs agree), and unparseable ids are their
+    own singleton host (never capped away)."""
+    from findtextcenternet_spark.crawl import host_cap_filter
+
+    rows = ([(f"https://big.example.org/p{i}", f"t{i}") for i in range(9)]
+            + [(f"https://small.example.org/p{i}", f"s{i}")
+               for i in range(2)]
+            + [("not-a-url", "x")])
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text"]))
+    capped1 = sorted(r.url for r in host_cap_filter(docs, 3).collect())
+    capped2 = sorted(r.url for r in host_cap_filter(docs, 3).collect())
+    assert capped1 == capped2                       # deterministic
+    assert sum(u.startswith("https://big.") for u in capped1) == 3
+    assert sum(u.startswith("https://small.") for u in capped1) == 2
+    assert "not-a-url" in capped1
+
+
+def test_crawl_to_corpus_quality_and_cap(spark, tmp_path, crawl_fixture):
+    """Flagship with the gate + cap enabled: summary accounting matches
+    the corpus delta, and the surviving corpus is the ungated corpus
+    minus exactly the gated/capped docs."""
+    warc = tmp_path / "a.warc"
+    # add a repetitive junk page and a burst of extra pages on one host
+    fixture = crawl_fixture + [
+        _page("https://c.example.org/junk", "spam ham " * 40)]
+    warc.write_bytes(write_warc(fixture))
+
+    base = crawl_to_corpus(
+        spark, str(warc), str(tmp_path / "o1"), input_format="warc",
+        near_dedup=True, quality_gate=False)
+    gated = crawl_to_corpus(
+        spark, str(warc), str(tmp_path / "o2"), input_format="warc",
+        near_dedup=True, quality_gate=True, host_cap=10)
+    assert gated["quality_rejected"] >= 1            # the junk page
+    assert gated["host_capped"] >= 1                 # everything is one host
+    assert (gated["corpus_docs"]
+            == base["corpus_docs"] - gated["quality_rejected"]
+            - gated["host_capped"])
