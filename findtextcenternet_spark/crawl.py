@@ -100,18 +100,22 @@ def host_cap_filter(docs: DataFrame, cap: int, id_col: str = "url",
     or boilerplate-heavy site dominating the corpus mix. Host =
     parse_url(url, 'HOST'); scheme-less or unparseable ids fall back to
     the id itself (each its own singleton "host", never dropped by the
-    cap). One host-partitioned window — exactly the shape that handles
-    a hot host at 100 TB without a global sort."""
+    cap). Scale shape: the window runs over PROJECTED (id, host)
+    metadata only — document text never enters the window sort's
+    exchange — and the surviving ids semi-join back (broadcast when they
+    fit). One host-partitioned window, no global sort; a hot host is
+    one big partition of 16-byte rows, not of documents."""
     from pyspark.sql.window import Window
 
     host = F.coalesce(F.expr(f"parse_url({id_col}, 'HOST')"),
                       F.col(id_col))
     w = Window.partitionBy("_host").orderBy(
         F.md5(F.encode(F.col(id_col).cast("string"), "utf-8")))
-    return (docs.withColumn("_host", host)
+    keep = (docs.select(F.col(id_col), host.alias("_host"))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= cap)
-            .drop("_host", "_rn"))
+            .select(id_col))
+    return docs.join(keep, id_col, "left_semi")
 
 
 def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,

@@ -355,3 +355,23 @@ def test_single_partition_gate_still_catches_global_windows(spark):
                                  "SortAggregate(key=[]",
                                  "ObjectHashAggregate(keys=[]"))
                    for p in parents)
+
+
+def test_host_cap_window_shuffles_metadata_only(spark):
+    """host_cap_filter's scale contract: document text never enters the
+    window sort's exchange — the window runs over projected (url, host)
+    metadata and survivors semi-join back."""
+    import pandas as pd
+
+    from findtextcenternet_spark.crawl import host_cap_filter
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(f"https://h{i % 3}.example.org/p{i}", "t" * 100)
+         for i in range(30)], columns=["url", "text"]))
+    out = host_cap_filter(docs, 5)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    lines = phys.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning(_host" in ln:
+            assert "text#" not in ln, ln
+    assert "Window" in phys and "CartesianProduct" not in phys
