@@ -73,21 +73,26 @@ def main(argv: list[str] | None = None) -> int:
                          "to DIR")
     ap.add_argument("--quality-gate", action="store_true",
                     help="after extraction: drop too-short or "
-                         "too-repetitive docs (Gopher-style gate)")
+                         "too-repetitive docs (Gopher-style gate). "
+                         "Also valid with --streaming, where rejects "
+                         "stay as quality:<reason> error rows instead "
+                         "of being dropped")
     ap.add_argument("--host-cap", type=int, default=None, metavar="N",
                     help="after dedup: keep at most N docs per host "
                          "(md5-of-url order, deterministic)")
     args = ap.parse_args(argv)
     if args.index and args.input_format != "warc":
         ap.error("--index requires --format warc")
-    corpus_flags = (args.near_dedup or args.para_dedup is not None
-                    or args.wet_out or args.quality_gate
-                    or args.host_cap is not None)
-    if corpus_flags and args.streaming:
-        ap.error("--near-dedup/--para-dedup/--wet-out are corpus-wide "
-                 "batch passes; they cannot combine with --streaming "
-                 "(run the batch flagship over the streamed-out docs "
-                 "instead)")
+    # the quality gate is per-doc (row-local), so it IS micro-batch-safe
+    # and allowed under --streaming; the rest are corpus-wide passes
+    batch_only_flags = (args.near_dedup or args.para_dedup is not None
+                        or args.wet_out or args.host_cap is not None)
+    corpus_flags = batch_only_flags or args.quality_gate
+    if batch_only_flags and args.streaming:
+        ap.error("--near-dedup/--para-dedup/--wet-out/--host-cap are "
+                 "corpus-wide batch passes; they cannot combine with "
+                 "--streaming (run the batch flagship over the "
+                 "streamed-out docs instead)")
     if corpus_flags and args.index:
         ap.error("--index only builds the CDX index; combine the corpus "
                  "flags with --format cdx on a second invocation")
@@ -111,7 +116,8 @@ def main(argv: list[str] | None = None) -> int:
             q = stream_extract_warc(
                 spark, args.input,
                 out_dir=os.path.join(args.out_dir, "docs"),
-                checkpoint_dir=os.path.join(args.out_dir, "_checkpoint"))
+                checkpoint_dir=os.path.join(args.out_dir, "_checkpoint"),
+                quality_gate=args.quality_gate)
         else:
             from .streaming import stream_extract_html
 
@@ -119,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.input,
                 out_dir=os.path.join(args.out_dir, "docs"),
                 checkpoint_dir=os.path.join(args.out_dir, "_checkpoint"),
-                include_raster=True)
+                include_raster=True, quality_gate=args.quality_gate)
         q.awaitTermination()
         print(json.dumps({"mode": "streaming", "out": args.out_dir}))
         if owns_session:

@@ -65,6 +65,27 @@ def near_dup_filter(docs: DataFrame, id_col: str = "url",
     return docs.join(losers, id_col, "left_anti"), clusters
 
 
+# Scripts written without word separators (kana, unified ideographs and
+# compat forms, hangul syllables): for these, characters stand in for
+# words in the quality floor — a whitespace split would count a whole
+# Japanese paragraph as one "word" and gate perfectly good pages.
+_CJK_CLASS = ("\u3040-\u30FF\u3400-\u4DBF\u4E00-\u9FFF"
+              "\uF900-\uFAFF\uAC00-\uD7A3")
+
+
+def effective_word_count(text_col) -> "F.Column":
+    """Script-aware word count: whitespace-delimited tokens (any
+    whitespace incl. the ideographic space U+3000) plus one word per
+    CJK character. CJK runs also count once as a token — at the floor's
+    5-word granularity the overlap is immaterial, and the estimate only
+    needs to be conservative in the KEEP direction."""
+    toks = F.filter(F.split(text_col, "[\\s　]+"),
+                    lambda t: t != F.lit(""))
+    cjk = F.length(F.regexp_replace(
+        text_col, f"[^{_CJK_CLASS}]", ""))
+    return F.size(toks) + cjk
+
+
 def quality_gate_filter(docs: DataFrame, id_col: str = "url",
                         text_col: str = "text", min_words: int = 5,
                         max_top_bigram_frac: float = 0.2
@@ -73,12 +94,14 @@ def quality_gate_filter(docs: DataFrame, id_col: str = "url",
     (id, text) frame — drop docs below a word-count floor or above a
     repetition ceiling (fraction of characters in the most frequent word
     bigram, :func:`repetition_stats_df`). The word floor is a row-local
-    predicate; the repetition side joins only (id, frac) metadata back,
-    so document text crosses the wire once at most (and the rejected
-    frame carries a ``reason`` for auditability)."""
+    predicate and script-aware (:func:`effective_word_count`, so
+    spaceless CJK pages are measured by characters, not whitespace);
+    the repetition side joins only (id, frac) metadata back, so document
+    text crosses the wire once at most (and the rejected frame carries
+    a ``reason`` for auditability)."""
     from .plans.training_data import repetition_stats_df
 
-    too_short = F.size(F.split(F.col(text_col), " ")) < min_words
+    too_short = effective_word_count(F.col(text_col)) < min_words
     rep = repetition_stats_df(docs.filter(~too_short), id_col=id_col,
                               text_col=text_col)
     too_repetitive = (rep.filter(F.col("top_bigram_frac")
@@ -91,6 +114,29 @@ def quality_gate_filter(docs: DataFrame, id_col: str = "url",
     kept = (docs.filter(~too_short)
             .join(too_repetitive, id_col, "left_anti"))
     return kept, short.unionByName(repet)
+
+
+def apply_quality_gate(docs: DataFrame, id_col: str = "url",
+                       text_col: str = "text", min_words: int = 5,
+                       max_top_bigram_frac: float = 0.2) -> DataFrame:
+    """Schema-preserving form of :func:`quality_gate_filter`: rejected
+    docs come back with ``error = 'quality:<reason>'`` instead of being
+    dropped — the pipeline's quarantine idiom (pipeline.DOC_SCHEMA), so
+    the gate composes with any sink that already routes error rows,
+    including the streaming foreachBatch path where a dropped row would
+    silently vanish from the effectively-once output."""
+    clean = docs.filter(F.col("error").isNull())
+    errs = docs.filter(F.col("error").isNotNull())
+    kept, rejected = quality_gate_filter(
+        clean, id_col=id_col, text_col=text_col, min_words=min_words,
+        max_top_bigram_frac=max_top_bigram_frac)
+    marked = (clean.drop("error")
+              .join(rejected, id_col)
+              .withColumn("error", F.concat(F.lit("quality:"),
+                                            F.col("reason")))
+              .drop("reason"))
+    return (kept.unionByName(marked.select(*kept.columns))
+            .unionByName(errs))
 
 
 def host_cap_filter(docs: DataFrame, cap: int, id_col: str = "url",

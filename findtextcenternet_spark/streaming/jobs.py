@@ -66,9 +66,22 @@ def _foreach_batch_idempotent(stream_df: DataFrame, out_dir: str,
             .trigger(availableNow=True).start())
 
 
+def _maybe_quality_gate(docs: DataFrame, quality_gate: bool) -> DataFrame:
+    """Per-doc gate (word floor + repetition ceiling) is row-local per
+    document, so it is micro-batch-safe; rejected docs stay in the
+    output as ``quality:<reason>`` error rows (the quarantine idiom)
+    rather than silently vanishing from the effectively-once output."""
+    if not quality_gate:
+        return docs
+    from ..crawl import apply_quality_gate
+
+    return apply_quality_gate(docs)
+
+
 def stream_extract_html(spark: SparkSession, input_dir: str,
                         out_dir: str, checkpoint_dir: str,
-                        include_raster: bool = False):
+                        include_raster: bool = False,
+                        quality_gate: bool = False):
     """Streaming main-content extraction.
 
     Stateless leg streams natively; with ``include_raster`` every
@@ -86,7 +99,17 @@ def stream_extract_html(spark: SparkSession, input_dir: str,
     pages = read_pages_stream(spark, input_dir)
     if include_raster:
         return _foreach_batch_idempotent(
-            pages, out_dir, checkpoint_dir, transform=extract_documents)
+            pages, out_dir, checkpoint_dir,
+            transform=lambda b: _maybe_quality_gate(
+                extract_documents(b), quality_gate))
+    if quality_gate:
+        # the gate joins per-doc metadata back onto the batch — a
+        # multi-input plan the native streaming sink can't run without
+        # the foreachBatch escape hatch, so route through it
+        return _foreach_batch_idempotent(
+            pages, out_dir, checkpoint_dir,
+            transform=lambda b: _maybe_quality_gate(
+                extract_html_path(b), True))
     out = extract_html_path(pages)
     return (out.writeStream.format("parquet")
             .option("path", out_dir)
@@ -96,7 +119,8 @@ def stream_extract_html(spark: SparkSession, input_dir: str,
 
 def stream_extract_warc(spark: SparkSession, input_dir: str,
                         out_dir: str, checkpoint_dir: str,
-                        max_files_per_trigger: int = 4):
+                        max_files_per_trigger: int = 4,
+                        quality_gate: bool = False):
     """Streaming crawl-native extraction: tail a WARC landing directory
     and run the FULL batch pipeline on each micro-batch of archives.
 
@@ -114,9 +138,11 @@ def stream_extract_warc(spark: SparkSession, input_dir: str,
 
     pages = read_warc_stream(spark, input_dir,
                              max_files_per_trigger=max_files_per_trigger)
+
     return _foreach_batch_idempotent(
         pages, out_dir, checkpoint_dir,
-        transform=lambda b: extract_documents(b.drop("error")))
+        transform=lambda b: _maybe_quality_gate(
+            extract_documents(b.drop("error")), quality_gate))
 
 
 def stream_index_warc(spark: SparkSession, input_dir: str,

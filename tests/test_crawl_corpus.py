@@ -232,14 +232,23 @@ def test_quality_gate_filter_unit(spark):
         ("u/short", "three words only"),
         ("u/repeat", "spam ham " * 40),          # one bigram dominates
         ("u/ok2", _text(2, 60)),
+        # spaceless Japanese: 0 whitespace tokens beyond 1, but the
+        # script-aware floor counts its characters as words
+        ("u/ja", "吾輩は猫である。名前はまだ無い。どこで生れたか頓と見当がつかぬ。"),
+        # newline-separated words count too (the floor splits on any
+        # whitespace, not just the space character)
+        ("u/nl", "one\ntwo\nthree\nfour\nfive\nsix"),
+        ("u/ja_short", "猫だ。"),                 # 3 CJK chars < 5
     ]
     docs = spark.createDataFrame(
         pd.DataFrame(rows, columns=["url", "text"]))
     kept, rejected = quality_gate_filter(docs, min_words=5,
                                          max_top_bigram_frac=0.2)
-    assert {r.url for r in kept.collect()} == {"u/ok", "u/ok2"}
+    assert {r.url for r in kept.collect()} == {"u/ok", "u/ok2", "u/ja",
+                                               "u/nl"}
     rej = {r.url: r.reason for r in rejected.collect()}
-    assert rej == {"u/short": "too_short", "u/repeat": "too_repetitive"}
+    assert rej == {"u/short": "too_short", "u/repeat": "too_repetitive",
+                   "u/ja_short": "too_short"}
     # kept text is identical to the input (the gate never rewrites)
     orig = dict(rows)
     for r in kept.collect():

@@ -150,3 +150,64 @@ def test_stream_dedup_exact(spark, tmp_path):
     assert got["fp"].nunique() == 40              # one row per payload
     # exactly one of each (original, mirror) pair survived
     assert int(got["url"].str.endswith("?mirror").sum()) <= 5
+
+
+def test_stream_stateless_leg_quality_gate(spark, tmp_path):
+    """quality_gate=True on the stateless HTML leg routes through the
+    foreachBatch escape hatch (the gate's metadata join is not a
+    native-streaming-sink plan) and marks rejects without dropping."""
+    import pandas as pd
+
+    pdf = generate_pages(12)
+    junk = pdf.iloc[:1].copy()
+    junk["url"] = "https://q.example.org/junk"
+    junk["html"] = ("<html><body><div class=\"main_text\">"
+                    + "spam ham " * 60
+                    + "</div></body></html>").encode()
+    pdf = pd.concat([pdf, junk], ignore_index=True)
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "a.parquet"), index=False,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_extract_html(spark, d, out, ckpt, quality_gate=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    # none of the leg's pages vanish (raster/pdf pages are the OTHER
+    # legs' by design); the junk page is marked, not dropped
+    from findtextcenternet_spark.pipeline import (
+        extract_html_path,
+        pages_from_pandas,
+    )
+    n_leg = extract_html_path(pages_from_pandas(spark, pdf)).count()
+    assert got["url"].nunique() == n_leg
+    bad = got[got["error"].notna()].set_index("url")["error"].to_dict()
+    assert bad["https://q.example.org/junk"] == "quality:too_repetitive"
+
+
+def test_cli_streaming_quality_gate(spark, tmp_path):
+    """--quality-gate combines with --streaming at the CLI (the gate is
+    micro-batch-safe, unlike the corpus-wide dedup passes)."""
+    import pandas as pd
+
+    from findtextcenternet_spark.__main__ import main
+
+    pdf = generate_pages(10)
+    junk = pdf.iloc[:1].copy()
+    junk["url"] = "https://q.example.org/junk"
+    junk["html"] = ("<html><body><div class=\"main_text\">"
+                    + "spam ham " * 60
+                    + "</div></body></html>").encode()
+    pdf = pd.concat([pdf, junk], ignore_index=True)
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "a.parquet"), index=False,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    out = str(tmp_path / "out")
+    assert main([d, out, "--streaming", "--quality-gate"]) == 0
+    got = spark.read.parquet(os.path.join(out, "docs")).toPandas()
+    assert got["url"].nunique() == 11
+    bad = got[got["error"].notna()].set_index("url")["error"].to_dict()
+    assert bad["https://q.example.org/junk"] == "quality:too_repetitive"

@@ -298,3 +298,47 @@ def test_warc_offset_dates_normalize_to_naive_utc(corpus):
     base = pages_from_warc_bytes(blob)
     assert all((b - a).total_seconds() == 7200
                for a, b in zip(ok["warc_ts"], base["warc_ts"]))
+
+
+def test_stream_extract_warc_quality_gate(spark, tmp_path, corpus):
+    """quality_gate=True inside the stream: a repetitive junk page comes
+    out as a quality:<reason> error row (the quarantine idiom — never
+    silently dropped from the effectively-once output), clean pages are
+    untouched."""
+    from findtextcenternet_spark.streaming import stream_extract_warc
+
+    rows = _rows(corpus)[:8]
+    junk_html = ("<html><body><div class=\"main_text\">"
+                 + "spam ham " * 60 + "</div></body></html>").encode()
+    rows.append({"url": "https://w.example.org/junk", "warc_ts": rows[0]["warc_ts"],
+                 "html": junk_html, "text": "", "lang": "en"})
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "seg0.warc.gz").write_bytes(write_warc(rows))
+    out, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+
+    q = stream_extract_warc(spark, str(land), out, ckpt, quality_gate=True)
+    q.awaitTermination(240)
+    got = spark.read.parquet(out).toPandas()
+    # nothing vanishes: every input page is in the output exactly once
+    assert len(got) == 9
+    assert got["url"].nunique() == 9
+    bad = got[got["error"].notna()].set_index("url")["error"].to_dict()
+    assert bad["https://w.example.org/junk"] == "quality:too_repetitive"
+    # CJK pages are NOT gated "too_short" (script-aware word floor) —
+    # the two spaceless Japanese fixture pages survive the stream gate
+    for u in ("https://site04.example.org/doc/1",
+              "https://site02.example.org/doc/6"):
+        assert u not in bad
+    # stream gate == batch gate on the same docs (micro-batching is
+    # invisible: the quarantine labels agree row for row)
+    from findtextcenternet_spark.crawl import apply_quality_gate
+    from findtextcenternet_spark.pipeline import extract_documents
+    from findtextcenternet_spark.sources.warc import read_warc
+
+    batch_docs = extract_documents(
+        read_warc(spark, str(land)).drop("error"))
+    want = {r["url"]: r["error"] for r in
+            apply_quality_gate(batch_docs).select("url", "error")
+            .collect() if r["error"] is not None}
+    assert bad == want
