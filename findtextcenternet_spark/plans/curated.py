@@ -99,6 +99,10 @@ LEGS: dict[str, list[tuple[str, str]]] = {
                          ("token_share", "d"), ("resample_weight", "d")],
     "curation_e2e": [("source", "s"), ("bin", "s"), ("n_docs", "d"),
                      ("bin_tokens", "d")],
+    "pii_scrub": [("doc_id", "s"), ("n_emails", "d"), ("n_ipv4", "d"),
+                  ("scrub_tail", "s")],
+    "url_canonical_dedup": [("canon_url", "s"), ("n", "d"),
+                            ("first_doc", "s")],
     "doc_fingerprint": [("doc_id", "s"), ("fp", "s"), ("n_bytes", "d")],
     # rhash is a full-range int64 — a double cast would lose precision
     # above 2^53, so it rides as a string
@@ -144,7 +148,10 @@ MERGES: list[tuple[str, list[str]]] = [
                              "gopher_repetition", "domain_stats",
                              "domain_cap", "pack_sequences",
                              "tfidf_top_terms", "lang_mix_weights",
-                             "curation_e2e"]),
+                             "curation_e2e",
+                             # r6: PII redaction + crawl URL
+                             # canonicalization ride in the same slot
+                             "pii_scrub", "url_canonical_dedup"]),
     ("doc_fingerprints", ["doc_fingerprint", "doc_rolling_hash"]),
 ]
 

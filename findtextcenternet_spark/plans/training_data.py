@@ -1246,3 +1246,146 @@ def curation_e2e(spark, sf_dir):
             .groupBy("source", "bin")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("tok").alias("bin_tokens")))
+
+
+# ------------------------------------------ PII scrub + URL normalize
+
+# Engine-portable patterns (Java regex on Spark, RE2 on DuckDB): plain
+# character classes and bounded repeats only — no lookaround, no \b.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4_RE = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+
+@register("pii_scrub", f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN ' contact user'
+                || CAST(doc_id AS VARCHAR) || '@mail.example.org now'
+           WHEN doc_id % 3 = 1 THEN ' via 10.'
+                || CAST(doc_id % 200 AS VARCHAR) || '.3.'
+                || CAST(doc_id % 250 AS VARCHAR)
+           ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_IPV4_RE}')) AS BIGINT)
+         AS n_ipv4,
+       right(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>',
+                                           'g'),
+                            '{_IPV4_RE}', '<IP>', 'g'), 48)
+         AS scrub_tail
+FROM aug
+""")
+def pii_scrub(spark, sf_dir):
+    """PII redaction — the compliance pass every published training
+    corpus runs (emails and IPv4 addresses → placeholder tokens, with
+    per-doc counts for the audit log). The synthetic corpus carries no
+    PII, so the query plants a deterministic email/IP suffix on 2/3 of
+    the docs first (same expression in the oracle) and the hash then
+    proves the scrub itself: the tail window covers exactly the planted
+    region. Row-local regex in built-ins — zero shuffles, scales as a
+    pure map at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@mail.example.org now")))
+         .when(F.col("doc_id") % 3 == 1,
+               F.concat(F.lit(" via 10."),
+                        (F.col("doc_id") % 200).cast("string"),
+                        F.lit(".3."),
+                        (F.col("doc_id") % 250).cast("string")))
+         .otherwise(F.lit("")))
+    scrub = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0))
+         .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_IPV4_RE), 0))
+         .cast("long").alias("n_ipv4"),
+        F.right(scrub, F.lit(48)).alias("scrub_tail"))
+
+
+@register("url_canonical_dedup", """
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.Example.ORG/P/'
+         || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '?utm_source=rss&id=' || CAST(doc_id % 3 AS VARCHAR)
+                      || '&utm_medium=email'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, split_part(url, '#', 1) AS f FROM u),
+pq AS (
+  SELECT doc_id, split_part(f, '?', 1) AS base,
+         CASE WHEN instr(f, '?') > 0 THEN split_part(f, '?', 2)
+              ELSE '' END AS q
+  FROM parts),
+canon AS (
+  SELECT doc_id,
+         lower(split_part(base, '://', 1)) || '://'
+         || lower(split_part(split_part(base, '://', 2), '/', 1))
+         || substr(split_part(base, '://', 2),
+                   len(split_part(split_part(base, '://', 2), '/', 1))
+                   + 1) AS cb,
+         array_to_string(
+           list_filter(string_split(q, '&'),
+                       x -> x <> '' AND NOT starts_with(x, 'utm_')),
+           '&') AS kq
+  FROM pq)
+SELECT cb || CASE WHEN kq <> '' THEN '?' || kq ELSE '' END AS canon_url,
+       count(*) AS n, min(doc_id) AS first_doc
+FROM canon
+GROUP BY 1
+""")
+def url_canonical_dedup(spark, sf_dir):
+    """Crawl URL canonicalization + dedup: strip the fragment, lowercase
+    scheme and host (path case is meaningful and kept), drop tracking
+    params (utm_*) while preserving real ones, then count captures per
+    canonical URL — the normalize-before-dedup step every crawl frontier
+    and index runs (the Python-side twin is sources/cdx.surt_key, which
+    additionally SURT-reverses the host for range locality). The corpus
+    has no url column, so the query plants a deliberately messy one
+    (uppercase host, utm noise, fragments; same expression in the
+    oracle). Row-local string ops + ONE groupBy on the canonical key —
+    at 100 TB the shuffle moves only (canon_url) pairs."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.ORG/P/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("?utm_source=rss&id="),
+                        (F.col("doc_id") % 3).cast("string"),
+                        F.lit("&utm_medium=email"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag"))
+         .otherwise(F.lit("")))
+    f = F.substring_index(url, "#", 1)
+    staged = (d.select("doc_id", f.alias("f"))
+              .withColumn("base", F.substring_index("f", "?", 1))
+              .withColumn("q", F.when(
+                  F.instr("f", "?") > 0,
+                  F.substring_index("f", "?", -1)).otherwise(F.lit("")))
+              .withColumn("rest", F.substring_index("base", "://", -1))
+              .withColumn("host", F.substring_index("rest", "/", 1))
+              .withColumn("kq", F.array_join(
+                  F.filter(F.split("q", "&"),
+                           lambda x: (x != F.lit(""))
+                           & ~x.startswith(F.lit("utm_"))), "&")))
+    canon = F.concat(
+        F.lower(F.substring_index("base", "://", 1)), F.lit("://"),
+        F.lower(F.col("host")),
+        F.col("rest").substr(F.length("host") + 1, F.length("rest")),
+        F.when(F.col("kq") != "",
+               F.concat(F.lit("?"), F.col("kq"))).otherwise(F.lit("")))
+    return (staged.select(F.col("doc_id"), canon.alias("canon_url"))
+            .groupBy("canon_url")
+            .agg(F.count("*").alias("n"),
+                 F.min("doc_id").alias("first_doc")))

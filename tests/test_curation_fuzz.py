@@ -25,8 +25,9 @@ OPS = [
     "f5_ruby_html_encode", "f6_whitespace_classify", "f7_space_normalize",
     "f8_script_class", "f9_utf32_codepoints", "gopher_repetition",
     "lang_id", "lang_mix_weights", "ngram_frequent", "pack_sequences",
-    "quality_score", "stratified_sample_by_lang", "tfidf_top_terms",
-    "token_count_bpe", "token_count_total", "window_dedup",
+    "pii_scrub", "quality_score", "stratified_sample_by_lang",
+    "tfidf_top_terms", "token_count_bpe", "token_count_total",
+    "url_canonical_dedup", "window_dedup",
 ]
 
 
@@ -104,3 +105,46 @@ def test_curation_parity_on_adversarial_texts(spark, fuzz_dir, name):
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, atol=1e-6)
+
+
+def test_pii_scrub_semantics(spark, fuzz_dir):
+    """The scrub replaces every planted email/IP with its placeholder
+    (counts agree with what was planted) and never touches clean docs."""
+    from findtextcenternet_spark.plans import full_registry
+
+    fn, _ = full_registry()["pii_scrub"]
+    got = fn(spark, fuzz_dir).toPandas().set_index("doc_id")
+    for doc_id, row in got.iterrows():
+        if doc_id % 3 == 0:
+            assert row["n_emails"] == 1 and row["n_ipv4"] == 0
+            assert "<EMAIL>" in row["scrub_tail"]
+            assert "@" not in row["scrub_tail"]
+        elif doc_id % 3 == 1:
+            assert row["n_ipv4"] == 1 and row["n_emails"] == 0
+            assert "<IP>" in row["scrub_tail"]
+        else:
+            assert row["n_emails"] == 0 and row["n_ipv4"] == 0
+            assert "<EMAIL>" not in row["scrub_tail"]
+            assert "<IP>" not in row["scrub_tail"]
+
+
+def test_url_canonical_semantics(spark, fuzz_dir):
+    """Canonicalization rules, pinned: scheme+host lowercased, path case
+    kept, fragment stripped, utm_* dropped, real params kept (so docs
+    differing only in tracking noise collapse; docs with different id=
+    params do not)."""
+    from findtextcenternet_spark.plans import full_registry
+
+    fn, _ = full_registry()["url_canonical_dedup"]
+    got = fn(spark, fuzz_dir).toPandas()
+    urls = list(got["canon_url"])
+    assert all(u.startswith("https://www.") for u in urls)
+    assert all("#" not in u and "utm_" not in u for u in urls)
+    # path case preserved (host lowered, path untouched)
+    assert all("/P/" in u for u in urls)
+    # even doc_ids keep their real id= param; odd ones have no query
+    assert any("?id=" in u for u in urls)
+    # the same (source, path, id) triple collapses multiple docs
+    assert (got["n"] > 1).any()
+    # every doc is accounted for exactly once
+    assert int(got["n"].sum()) == 120
