@@ -7,7 +7,7 @@
         [--run-id ID] [--streaming]
         [--index] [--cdx-mime TYPE] [--cdx-prefix SURT]
         [--near-dedup] [--para-dedup N] [--wet-out DIR]
-        [--quality-gate] [--host-cap N]
+        [--quality-gate] [--host-cap N] [--url-canon] [--pii-scrub]
 
 Batch mode runs one resumable lineage-tracked extraction pass (re-invoking
 with the same OUT_DIR extracts only not-yet-done urls). ``--format warc``
@@ -80,13 +80,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--host-cap", type=int, default=None, metavar="N",
                     help="after dedup: keep at most N docs per host "
                          "(md5-of-url order, deterministic)")
+    ap.add_argument("--url-canon", action="store_true",
+                    help="before dedup: collapse re-captures of the "
+                         "same canonical URL (fragment/utm_* noise)")
+    ap.add_argument("--pii-scrub", action="store_true",
+                    help="before the sink: redact emails/IPv4s to "
+                         "placeholder tokens (counted in the summary)")
     args = ap.parse_args(argv)
     if args.index and args.input_format != "warc":
         ap.error("--index requires --format warc")
     # the quality gate is per-doc (row-local), so it IS micro-batch-safe
     # and allowed under --streaming; the rest are corpus-wide passes
     batch_only_flags = (args.near_dedup or args.para_dedup is not None
-                        or args.wet_out or args.host_cap is not None)
+                        or args.wet_out or args.host_cap is not None
+                        or args.url_canon or args.pii_scrub)
     corpus_flags = batch_only_flags or args.quality_gate
     if batch_only_flags and args.streaming:
         ap.error("--near-dedup/--para-dedup/--wet-out/--host-cap are "
@@ -157,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
             cdx_prefix=args.cdx_prefix, near_dedup=args.near_dedup,
             para_dedup_max=args.para_dedup,
             quality_gate=args.quality_gate, host_cap=args.host_cap,
+            url_canon=args.url_canon, pii_scrub=args.pii_scrub,
             num_partitions=args.partitions, run_id=args.run_id)
         print(json.dumps({"mode": "crawl_to_corpus", **summary}))
         if owns_session:

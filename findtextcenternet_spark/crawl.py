@@ -2,13 +2,14 @@
 
 Chains the layers that exist separately into ONE pipeline (VERDICT r5
 item 2): CDX-indexed selective fetch (only the addressed archive bytes
-move) → resumable lineage-tracked extraction → paragraph-grain
+move) → resumable lineage-tracked extraction → URL-canonical collapse
+(tracking-noise re-captures of one page) → paragraph-grain
 boilerplate drop → Gopher-style quality gate (word floor + repetition
 ceiling, rejects tagged with a reason) → near-dup transitive cluster
 dedup (MinHash LSH → Jaccard verify → connected components, one
 canonical keeper per cluster) → per-host cap (deterministic md5-of-url
-draw) → WET shards (the format Common Crawl publishes extracted text
-in).
+draw) → PII scrub (emails/IPv4s → placeholders, counted) → WET shards
+(the format Common Crawl publishes extracted text in).
 
 Reference analogue: the repo's own training-data harvest loop
 (train_data3/make_data.py and get_aozora.py — fetch, extract, save) is
@@ -139,6 +140,47 @@ def apply_quality_gate(docs: DataFrame, id_col: str = "url",
             .unionByName(errs))
 
 
+def url_canon_filter(docs: DataFrame, id_col: str = "url"
+                     ) -> tuple[DataFrame, DataFrame]:
+    """(kept_docs, collapsed): collapse re-captures of the same
+    canonical URL (fragment/utm_*-noise variants of one page,
+    functions/urlnorm.canonical_url_col) to the lexicographic-min id.
+    Scale shape like host_cap_filter: the min-per-key agg runs over
+    PROJECTED (id, canon) metadata only — one 16-byte-row shuffle —
+    and survivors semi-join back; text never enters the exchange."""
+    from .functions.urlnorm import canonical_url_col
+
+    meta = docs.select(F.col(id_col),
+                       canonical_url_col(F.col(id_col)).alias("_canon"))
+    keep = (meta.groupBy("_canon")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    collapsed = meta.join(keep, id_col, "left_anti").select(id_col)
+    return docs.join(keep, id_col, "left_semi"), collapsed
+
+
+def pii_scrub_docs(docs: DataFrame, text_col: str = "text"
+                   ) -> tuple[DataFrame, DataFrame]:
+    """(scrubbed_docs, audit): redact emails/IPv4s in the text column
+    (functions/urlnorm.scrub_pii_col, schema unchanged); ``audit`` is a
+    one-row (n_redactions) frame aggregated from the pre-scrub text for
+    the summary. Pure row-local map — zero shuffles at any corpus
+    size (the audit agg is a map-side partial sum)."""
+    from .functions.urlnorm import (
+        EMAIL_RE,
+        IPV4_RE,
+        pii_count_col,
+        scrub_pii_col,
+    )
+
+    audit = docs.agg(F.sum(
+        pii_count_col(F.col(text_col), EMAIL_RE)
+        + pii_count_col(F.col(text_col), IPV4_RE)
+    ).alias("n_redactions"))
+    return docs.withColumn(text_col,
+                           scrub_pii_col(F.col(text_col))), audit
+
+
 def host_cap_filter(docs: DataFrame, cap: int, id_col: str = "url",
                     ) -> DataFrame:
     """Keep at most ``cap`` docs per host, drawn by md5-of-id order
@@ -173,6 +215,8 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
                     para_dedup_max: int | None = None,
                     quality_gate: bool = False,
                     host_cap: int | None = None,
+                    url_canon: bool = False,
+                    pii_scrub: bool = False,
                     num_partitions: int | None = None,
                     run_id: str | None = None,
                     store=None) -> dict:
@@ -217,7 +261,7 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
                           num_partitions=num_partitions, store=store)
     summary = {**summary, "near_dup_clustered": 0, "near_dup_dropped": 0,
                "paragraphs_dropped": 0, "quality_rejected": 0,
-               "host_capped": 0}
+               "host_capped": 0, "url_collapsed": 0, "pii_redactions": 0}
 
     # an input filter can legitimately select NOTHING (e.g. a mime with
     # no captures) — an empty store has no post-passes to run
@@ -230,6 +274,12 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
     docs = (store.read_docs()
             .filter(F.col("error").isNull())
             .select("url", "text"))
+
+    if url_canon:
+        # FIRST post-pass: collapse tracking-noise re-captures of one
+        # page before any content pass spends work on them
+        docs, collapsed = url_canon_filter(docs)
+        summary["url_collapsed"] = collapsed.count()
 
     if para_dedup_max is not None:
         cleaned = drop_repeated_paragraphs(docs, id_col="url",
@@ -270,6 +320,13 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
             before = docs.count()
             docs = host_cap_filter(docs, host_cap)
             summary["host_capped"] = before - docs.count()
+
+        if pii_scrub:
+            # LAST content pass, right before the sink: redaction must
+            # not perturb the dedup fingerprints computed upstream
+            docs, audit = pii_scrub_docs(docs)
+            summary["pii_redactions"] = int(
+                audit.collect()[0]["n_redactions"] or 0)
 
         if wet_dir is not None:
             from .sources.warc import write_wet

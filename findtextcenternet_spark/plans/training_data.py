@@ -1250,10 +1250,13 @@ def curation_e2e(spark, sf_dir):
 
 # ------------------------------------------ PII scrub + URL normalize
 
-# Engine-portable patterns (Java regex on Spark, RE2 on DuckDB): plain
-# character classes and bounded repeats only — no lookaround, no \b.
-_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_IPV4_RE = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+from ..functions.urlnorm import (  # noqa: E402 — section-local import
+    EMAIL_RE as _EMAIL_RE,
+    IPV4_RE as _IPV4_RE,
+    canonical_url_col,
+    pii_count_col,
+    scrub_pii_col,
+)
 
 
 @register("pii_scrub", f"""
@@ -1300,15 +1303,11 @@ def pii_scrub(spark, sf_dir):
                         F.lit(".3."),
                         (F.col("doc_id") % 250).cast("string")))
          .otherwise(F.lit("")))
-    scrub = F.regexp_replace(
-        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>")
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0))
-         .cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(_IPV4_RE), 0))
-         .cast("long").alias("n_ipv4"),
-        F.right(scrub, F.lit(48)).alias("scrub_tail"))
+        pii_count_col(t, _EMAIL_RE).cast("long").alias("n_emails"),
+        pii_count_col(t, _IPV4_RE).cast("long").alias("n_ipv4"),
+        F.right(scrub_pii_col(t), F.lit(48)).alias("scrub_tail"))
 
 
 @register("url_canonical_dedup", """
@@ -1367,25 +1366,8 @@ def url_canonical_dedup(spark, sf_dir):
                         F.lit("&utm_medium=email"))).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 5 == 0, F.lit("#frag"))
          .otherwise(F.lit("")))
-    f = F.substring_index(url, "#", 1)
-    staged = (d.select("doc_id", f.alias("f"))
-              .withColumn("base", F.substring_index("f", "?", 1))
-              .withColumn("q", F.when(
-                  F.instr("f", "?") > 0,
-                  F.substring_index("f", "?", -1)).otherwise(F.lit("")))
-              .withColumn("rest", F.substring_index("base", "://", -1))
-              .withColumn("host", F.substring_index("rest", "/", 1))
-              .withColumn("kq", F.array_join(
-                  F.filter(F.split("q", "&"),
-                           lambda x: (x != F.lit(""))
-                           & ~x.startswith(F.lit("utm_"))), "&")))
-    canon = F.concat(
-        F.lower(F.substring_index("base", "://", 1)), F.lit("://"),
-        F.lower(F.col("host")),
-        F.col("rest").substr(F.length("host") + 1, F.length("rest")),
-        F.when(F.col("kq") != "",
-               F.concat(F.lit("?"), F.col("kq"))).otherwise(F.lit("")))
-    return (staged.select(F.col("doc_id"), canon.alias("canon_url"))
+    return (d.select(F.col("doc_id"),
+                     canonical_url_col(url).alias("canon_url"))
             .groupBy("canon_url")
             .agg(F.count("*").alias("n"),
                  F.min("doc_id").alias("first_doc")))

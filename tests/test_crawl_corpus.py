@@ -296,3 +296,78 @@ def test_crawl_to_corpus_quality_and_cap(spark, tmp_path, crawl_fixture):
     assert (gated["corpus_docs"]
             == base["corpus_docs"] - gated["quality_rejected"]
             - gated["host_capped"])
+
+
+def test_url_canon_filter_unit(spark):
+    """Re-captures of one canonical URL collapse to the min id; distinct
+    real params survive; host case folds, path case does not."""
+    from findtextcenternet_spark.crawl import url_canon_filter
+
+    rows = [
+        ("https://A.example.org/P?utm_source=x", "t1"),
+        ("https://a.example.org/P#frag", "t2"),       # same canon as ^
+        ("https://a.example.org/P?id=2", "t3"),       # real param: kept
+        ("https://a.example.org/p", "t4"),            # path case differs
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text"]))
+    kept, collapsed = url_canon_filter(docs)
+    assert {r.url for r in kept.collect()} == {
+        "https://A.example.org/P?utm_source=x",   # min(url) of the pair
+        "https://a.example.org/P?id=2",
+        "https://a.example.org/p",
+    }
+    assert [r.url for r in collapsed.collect()] == [
+        "https://a.example.org/P#frag"]
+
+
+def test_pii_scrub_docs_unit(spark):
+    """Emails/IPs are replaced in-place (schema unchanged), the audit
+    count matches, and PII-free docs come through byte-identical."""
+    from findtextcenternet_spark.crawl import pii_scrub_docs
+
+    rows = [
+        ("u/a", "mail me at bob@example.org or at 10.1.2.3 ok"),
+        ("u/b", "clean text with no pii at all"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text"]))
+    out, audit = pii_scrub_docs(docs)
+    assert out.columns == docs.columns
+    got = {r.url: r.text for r in out.collect()}
+    assert got["u/a"] == "mail me at <EMAIL> or at <IP> ok"
+    assert got["u/b"] == rows[1][1]
+    assert audit.collect()[0]["n_redactions"] == 2
+
+
+def test_crawl_to_corpus_url_canon_and_pii(spark, tmp_path, crawl_fixture):
+    """Flagship with --url-canon and --pii-scrub: utm-noise re-captures
+    collapse before dedup, PII is redacted in the WET output, and the
+    summary accounts for both."""
+    fixture = crawl_fixture + [
+        # a tracking-noise re-capture of u07 under a different raw url
+        _page("https://c.example.org/u07?utm_source=feed#top", _text(7)),
+        _page("https://c.example.org/pii",
+              _text(500) + " reach admin@example.org via 192.168.0.9"),
+    ]
+    warc = tmp_path / "a.warc"
+    warc.write_bytes(write_warc(fixture))
+
+    s = crawl_to_corpus(
+        spark, str(warc), str(tmp_path / "o"), input_format="warc",
+        near_dedup=True, url_canon=True, pii_scrub=True,
+        wet_dir=str(tmp_path / "wet"))
+    assert s["url_collapsed"] == 1
+    assert s["pii_redactions"] == 2
+
+    from findtextcenternet_spark.sources.warc import read_wet
+    wet = read_wet(spark, str(tmp_path / "wet")).toPandas()
+    urls = set(wet["url"])
+    # the canonical keeper (bare u07) survived, the utm variant did not
+    assert "https://c.example.org/u07" in urls
+    assert "https://c.example.org/u07?utm_source=feed#top" not in urls
+    pii_text = wet[wet["url"] == "https://c.example.org/pii"
+                   ].iloc[0]["text"]
+    assert "<EMAIL>" in pii_text and "<IP>" in pii_text
+    assert "admin@example.org" not in pii_text
+    assert "192.168.0.9" not in pii_text
