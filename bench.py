@@ -38,6 +38,8 @@ HEADLINE = [
     "lang_id",                # n-gram/stopword language ID
     "quality_score",          # text quality stats
     "token_count_total",      # corpus token counting
+    "pii_scrub",              # email/IPv4 redaction, row-local (r6)
+    "url_canonical_dedup",    # canonical-URL collapse, one groupBy (r6)
 ]
 
 
