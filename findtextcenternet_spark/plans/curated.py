@@ -101,6 +101,8 @@ LEGS: dict[str, list[tuple[str, str]]] = {
                      ("bin_tokens", "d")],
     "pii_scrub": [("doc_id", "s"), ("n_emails", "d"), ("n_ipv4", "d"),
                   ("scrub_tail", "s")],
+    "kmv_distinct_tokens": [("source", "s"), ("n_exact", "d"),
+                            ("kmv_est", "d")],
     "url_canonical_dedup": [("canon_url", "s"), ("n", "d"),
                             ("first_doc", "s")],
     "doc_fingerprint": [("doc_id", "s"), ("fp", "s"), ("n_bytes", "d")],
@@ -149,9 +151,11 @@ MERGES: list[tuple[str, list[str]]] = [
                              "domain_cap", "pack_sequences",
                              "tfidf_top_terms", "lang_mix_weights",
                              "curation_e2e",
-                             # r6: PII redaction + crawl URL
-                             # canonicalization ride in the same slot
-                             "pii_scrub", "url_canonical_dedup"]),
+                             # r6: PII redaction, crawl URL
+                             # canonicalization and the KMV cardinality
+                             # sketch ride in the same slot
+                             "pii_scrub", "url_canonical_dedup",
+                             "kmv_distinct_tokens"]),
     ("doc_fingerprints", ["doc_fingerprint", "doc_rolling_hash"]),
 ]
 

@@ -1371,3 +1371,92 @@ def url_canonical_dedup(spark, sf_dir):
             .groupBy("canon_url")
             .agg(F.count("*").alias("n"),
                  F.min("doc_id").alias("first_doc")))
+
+
+# --------------------------------------------- KMV distinct sketch
+
+_KMV_K = 64
+# uniform draw from an md5 prefix WITHOUT hex→int casts (DuckDB lacks
+# conv()): polynomial over the first 12 hex digits — all terms are
+# exact integers < 2^48, so the double arithmetic is bit-identical in
+# both engines and the estimate hash-matches.
+_KMV_DIGITS = 12
+
+
+def _kmv_uniform_sql(hx: str) -> str:
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (_KMV_DIGITS - 1 - i)}.0"
+        for i in range(_KMV_DIGITS))
+    return f"(({terms}) / {16 ** _KMV_DIGITS}.0)"
+
+
+def _kmv_uniform_col(hx):
+    acc = F.lit(0.0)
+    for i in range(_KMV_DIGITS):
+        acc = acc + (
+            (F.instr(F.lit("0123456789abcdef"), F.substring(hx, i + 1, 1))
+             - 1) * float(16 ** (_KMV_DIGITS - 1 - i)))
+    return acc / float(16 ** _KMV_DIGITS)
+
+
+@register("kmv_distinct_tokens", f"""
+WITH tok AS (
+  SELECT DISTINCT source, t AS token
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''),
+u AS (
+  SELECT source, md5(token) AS hx,
+         {_kmv_uniform_sql('md5(token)')} AS uv
+  FROM tok),
+r AS (
+  SELECT source, uv,
+         row_number() OVER (PARTITION BY source ORDER BY uv, hx) AS rn,
+         count(*) OVER (PARTITION BY source) AS nd
+  FROM u)
+SELECT source,
+       CAST(max(nd) AS BIGINT) AS n_exact,
+       round(CASE WHEN max(nd) < {_KMV_K} THEN CAST(max(nd) AS DOUBLE)
+                  ELSE {_KMV_K - 1}.0
+                       / max(CASE WHEN rn = {_KMV_K} THEN uv END)
+             END, 6) AS kmv_est
+FROM r
+WHERE rn <= {_KMV_K}
+GROUP BY source
+""")
+def kmv_distinct_tokens(spark, sf_dir):
+    """Per-domain distinct-token cardinality via a K-Minimum-Values
+    sketch (Bar-Yossef et al. 2002): hash each distinct token to a
+    uniform draw, keep the k smallest per group, estimate
+    (k-1)/u_(k). Chosen over HLL because KMV is exactly deterministic —
+    the same distinct set gives the same estimate in any engine, so the
+    DuckDB oracle hash-checks it (approx_count_distinct sketches never
+    cross-match). The sketch is MERGEABLE (union = k smallest of the
+    combined min-sets), which is the 100-TB shape: per-partition k-min
+    sets (k rows each) merge at the reducer instead of shuffling every
+    distinct token — this demo keeps the exact count alongside to show
+    the estimate lands; production drops the exact leg and shuffles
+    only k×16-byte rows per group."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select("source", F.explode(F.split("text", " ")).alias("t"))
+           .filter(F.col("t") != "")
+           .distinct())
+    hx = F.md5(F.encode("t", "utf-8"))
+    u = tok.select("source", hx.alias("hx"),
+                   _kmv_uniform_col(hx).alias("uv"))
+    w = Window.partitionBy("source").orderBy("uv", "hx")
+    r = (u.withColumn("rn", F.row_number().over(w))
+         .withColumn("nd", F.count("*").over(
+             Window.partitionBy("source"))))
+    return (r.filter(F.col("rn") <= _KMV_K)
+            .groupBy("source")
+            .agg(F.max("nd").cast("long").alias("n_exact"),
+                 F.round(
+                     F.when(F.max("nd") < _KMV_K,
+                            F.max("nd").cast("double"))
+                     .otherwise(
+                         float(_KMV_K - 1)
+                         / F.max(F.when(F.col("rn") == _KMV_K,
+                                        F.col("uv")))), 6)
+                 .alias("kmv_est")))

@@ -24,7 +24,8 @@ OPS = [
     "doc_rolling_hash", "domain_cap", "domain_stats", "f4_ruby_decode",
     "f5_ruby_html_encode", "f6_whitespace_classify", "f7_space_normalize",
     "f8_script_class", "f9_utf32_codepoints", "gopher_repetition",
-    "lang_id", "lang_mix_weights", "ngram_frequent", "pack_sequences",
+    "kmv_distinct_tokens", "lang_id", "lang_mix_weights",
+    "ngram_frequent", "pack_sequences",
     "pii_scrub", "quality_score", "stratified_sample_by_lang",
     "tfidf_top_terms", "token_count_bpe", "token_count_total",
     "url_canonical_dedup", "window_dedup",
@@ -148,3 +149,36 @@ def test_url_canonical_semantics(spark, fuzz_dir):
     assert (got["n"] > 1).any()
     # every doc is accounted for exactly once
     assert int(got["n"].sum()) == 120
+
+
+def test_kmv_estimate_accuracy(spark, tmp_path):
+    """KMV sanity on a corpus with known cardinality: the estimate for a
+    group with ≥ k distinct tokens lands within the sketch's standard
+    error envelope (~1/sqrt(k-2) ≈ 13% at k=64; assert 3σ), and a group
+    below k reports the exact count."""
+    import os
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # group "big": 5000 distinct tokens; group "small": 20 distinct
+    for i in range(200):
+        toks = [f"tok{v}" for v in rng.integers(0, 5000, 60)]
+        rows.append((i, " ".join(toks), "en", "big", 0))
+    for i in range(200, 240):
+        toks = [f"t{v}" for v in rng.integers(0, 20, 30)]
+        rows.append((i, " ".join(toks), "en", "small", 0))
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    pd.DataFrame(rows, columns=[
+        "doc_id", "text", "lang", "source", "n_chars"]).to_parquet(
+        os.path.join(d, "documents.parquet"))
+
+    from findtextcenternet_spark.plans import full_registry
+
+    fn, _ = full_registry()["kmv_distinct_tokens"]
+    got = fn(spark, d).toPandas().set_index("source")
+    small = got.loc["small"]
+    assert small["kmv_est"] == small["n_exact"] <= 20
+    big = got.loc["big"]
+    rel = abs(big["kmv_est"] - big["n_exact"]) / big["n_exact"]
+    assert rel < 3 / (64 - 2) ** 0.5, (big["kmv_est"], big["n_exact"])

@@ -375,3 +375,22 @@ def test_host_cap_window_shuffles_metadata_only(spark):
         if "Exchange hashpartitioning(_host" in ln:
             assert "text#" not in ln, ln
     assert "Window" in phys and "CartesianProduct" not in phys
+
+
+def test_url_canon_shuffles_metadata_only(spark):
+    """url_canon_filter's scale contract: the canonical-key agg and the
+    survivor semi-join exchange only (url, canon) metadata — document
+    text never shuffles."""
+    import pandas as pd
+
+    from findtextcenternet_spark.crawl import url_canon_filter
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(f"https://h.example.org/p{i % 4}?utm_source=x{i}", "t" * 200)
+         for i in range(24)], columns=["url", "text"]))
+    kept, _ = url_canon_filter(docs)
+    phys = kept._jdf.queryExecution().executedPlan().toString()
+    for ln in phys.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
+    assert "CartesianProduct" not in phys
