@@ -8,6 +8,7 @@
         [--index] [--cdx-mime TYPE] [--cdx-prefix SURT]
         [--near-dedup] [--para-dedup N] [--wet-out DIR]
         [--quality-gate] [--host-cap N] [--url-canon] [--pii-scrub]
+        [--compact N]
 
 Batch mode runs one resumable lineage-tracked extraction pass (re-invoking
 with the same OUT_DIR extracts only not-yet-done urls). ``--format warc``
@@ -86,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pii-scrub", action="store_true",
                     help="before the sink: redact emails/IPv4s to "
                          "placeholder tokens (counted in the summary)")
+    ap.add_argument("--compact", type=int, default=None, metavar="N",
+                    help="after a batch run: fold all committed runs "
+                         "into one compact run of N files (small-files "
+                         "maintenance; crash-safe, resume-preserving)")
     args = ap.parse_args(argv)
     if args.index and args.input_format != "warc":
         ap.error("--index requires --format warc")
@@ -100,6 +105,9 @@ def main(argv: list[str] | None = None) -> int:
                  "corpus-wide batch passes; they cannot combine with "
                  "--streaming (run the batch flagship over the "
                  "streamed-out docs instead)")
+    if args.compact is not None and (args.streaming or args.index):
+        ap.error("--compact is a batch maintenance pass on the docs "
+                 "store; it cannot combine with --streaming or --index")
     if corpus_flags and args.index:
         ap.error("--index only builds the CDX index; combine the corpus "
                  "flags with --format cdx on a second invocation")
@@ -166,6 +174,12 @@ def main(argv: list[str] | None = None) -> int:
             quality_gate=args.quality_gate, host_cap=args.host_cap,
             url_canon=args.url_canon, pii_scrub=args.pii_scrub,
             num_partitions=args.partitions, run_id=args.run_id)
+        if args.compact is not None:
+            from .lineage import ParquetDirStore, compact_docs
+
+            summary = {**summary, "compaction": compact_docs(
+                ParquetDirStore(spark, args.out_dir),
+                num_files=args.compact)}
         print(json.dumps({"mode": "crawl_to_corpus", **summary}))
         if owns_session:
             spark.stop()
@@ -199,6 +213,15 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(args.input)
     summary = run_extract(pages, args.out_dir, run_id=args.run_id,
                           num_partitions=args.partitions)
+    if args.compact is not None:
+        # maintenance pass: fold the accumulated incremental runs into
+        # one compact run (re-invoking with an already-settled input
+        # makes this a pure compaction — 0 new docs, then compact)
+        from .lineage import ParquetDirStore, compact_docs
+
+        summary = {**summary, "compaction": compact_docs(
+            ParquetDirStore(spark, args.out_dir),
+            num_files=args.compact)}
     print(json.dumps({"mode": "batch", **summary}))
     if owns_session:          # don't tear down a caller-provided session
         spark.stop()

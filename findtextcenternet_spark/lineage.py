@@ -159,6 +159,28 @@ class DocStore:
     def read_lineage(self) -> DataFrame:
         raise NotImplementedError
 
+    # ----- compaction (small-files maintenance; see compact_docs) -----
+
+    def drop_runs(self, run_ids: list[str]) -> None:
+        """Remove committed runs from the docs table (metadata delete on
+        a catalog, partition-dir removal on a filesystem). Dropping a
+        run_id that no longer exists is a no-op — the healing pass
+        replays drops idempotently."""
+        raise NotImplementedError
+
+    def record_compaction(self, compact_id: str,
+                          replaced: list[str]) -> None:
+        """Atomically record that ``compact_id`` supersedes ``replaced``
+        — the compaction's commit point: present → roll forward (drop
+        leftovers of ``replaced``); absent → roll back (drop the
+        unmarked compact run)."""
+        raise NotImplementedError
+
+    def compaction_log(self) -> dict[str, list[str]]:
+        """compact_id → replaced run_ids, every compaction ever
+        recorded."""
+        raise NotImplementedError
+
 
 class ParquetDirStore(DocStore):
     """Parquet-directory stand-in (the sandbox has no catalog): partition
@@ -276,6 +298,41 @@ class ParquetDirStore(DocStore):
     def read_lineage(self) -> DataFrame:
         return self.spark.read.parquet(self.lineage_dir)
 
+    def drop_runs(self, run_ids: list[str]) -> None:
+        import shutil
+
+        for rid in run_ids:
+            part = os.path.join(self.docs_dir, f"run_id={rid}")
+            if os.path.isdir(part):
+                shutil.rmtree(part)
+
+    def record_compaction(self, compact_id: str,
+                          replaced: list[str]) -> None:
+        import json
+
+        d = os.path.join(self.out_dir, "_compactions")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{compact_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"compact_id": compact_id,
+                       "replaced": sorted(replaced)}, f)
+        # atomic publish: the marker either exists complete or not at all
+        os.replace(tmp, os.path.join(d, f"{compact_id}.json"))
+
+    def compaction_log(self) -> dict[str, list[str]]:
+        import json
+
+        d = os.path.join(self.out_dir, "_compactions")
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for e in sorted(os.listdir(d)):
+            if e.endswith(".json") and not e.startswith("."):
+                with open(os.path.join(d, e)) as f:
+                    rec = json.load(f)
+                out[rec["compact_id"]] = rec["replaced"]
+        return out
+
 
 class InMemoryCatalogStore(DocStore):
     """Catalog-style second implementation of the storage seam (VERDICT
@@ -295,6 +352,7 @@ class InMemoryCatalogStore(DocStore):
         self._done_marked: set[str] = set()
         self._quarantine: list[tuple] = []
         self._lineage: list[tuple] = []
+        self._compactions: dict[str, list[str]] = {}
 
     @staticmethod
     def _collect(df: DataFrame) -> tuple:
@@ -368,6 +426,17 @@ class InMemoryCatalogStore(DocStore):
 
     def read_quarantine(self) -> DataFrame:
         return self._frame(self._quarantine)
+
+    def drop_runs(self, run_ids: list[str]) -> None:
+        for rid in run_ids:
+            self._docs.pop(rid, None)
+
+    def record_compaction(self, compact_id: str,
+                          replaced: list[str]) -> None:
+        self._compactions[compact_id] = sorted(replaced)
+
+    def compaction_log(self) -> dict[str, list[str]]:
+        return dict(self._compactions)
 
 
 def iceberg_available(spark: SparkSession, catalog: str = "local") -> bool:
@@ -504,6 +573,28 @@ class IcebergDocStore(DocStore):
     def read_quarantine(self) -> DataFrame:
         return self.spark.table(self.quarantine_tbl)
 
+    def drop_runs(self, run_ids: list[str]) -> None:
+        # partition-level metadata delete (one snapshot commit); the
+        # native alternative is CALL rewrite_data_files, but routing
+        # through the seam keeps compact_docs storage-agnostic
+        ids = ", ".join(f"'{r}'" for r in run_ids)
+        self.spark.sql(
+            f"DELETE FROM {self.docs_tbl} WHERE run_id IN ({ids})")
+
+    def record_compaction(self, compact_id: str,
+                          replaced: list[str]) -> None:
+        self._append(self.spark.createDataFrame(
+            [(compact_id, list(sorted(replaced)))],
+            "compact_id string, replaced array<string>"),
+            f"{self.ns}.compactions")
+
+    def compaction_log(self) -> dict[str, list[str]]:
+        tbl = f"{self.ns}.compactions"
+        if not self._exists(tbl):
+            return {}
+        return {r["compact_id"]: list(r["replaced"])
+                for r in self.spark.table(tbl).collect()}
+
 
 def _settled_urls(store: DocStore, heal: bool) -> DataFrame | None:
     """Urls already settled in the output — extracted OR quarantined (a
@@ -517,6 +608,13 @@ def _settled_urls(store: DocStore, heal: bool) -> DataFrame | None:
     with ``heal=True``, is backfilled into ``_done_urls`` so the NEXT
     resume is O(done-set) again. Returns None when nothing is settled.
     """
+    if heal:
+        # a compaction that crashed mid-window can leave the docs table
+        # with BOTH the compacted run and (some of) the runs it replaced
+        # — duplicate rows for every post-pass. Settle it first: marker
+        # present → roll forward; unmarked compact run → roll back.
+        heal_compaction(store)
+
     docs_any = store.docs_nonempty()
     done_any = store.done_nonempty()
     if not docs_any and not done_any:
@@ -660,3 +758,83 @@ def run_extract(pages: DataFrame, out_dir: str,
 
 def lineage_table(spark: SparkSession, out_dir: str) -> DataFrame:
     return ParquetDirStore(spark, out_dir).read_lineage()
+
+
+# ---------------------------------------------- small-files compaction
+
+COMPACT_PREFIX = "compact-"
+
+
+def heal_compaction(store: DocStore) -> dict:
+    """Settle any compaction interrupted mid-window (idempotent; a
+    no-op costs one metadata scan). Two crash shapes:
+
+    * marker present, replaced runs still committed → the compaction
+      COMMITTED (the marker is the commit point) but the drop was cut
+      short: roll FORWARD by re-dropping the leftovers;
+    * compact-prefixed run committed with NO marker → the compaction
+      never committed: roll BACK by dropping the orphan compact run
+      (every row it holds is still in the original runs).
+
+    ``run_extract``'s healing calls this before the resume anti-join, so
+    a crashed compaction can never feed duplicate rows to a post-pass.
+    """
+    committed = store.committed_run_ids()
+    log = store.compaction_log()
+    healed = {"rolled_forward": 0, "rolled_back": 0}
+    for cid, replaced in log.items():
+        leftovers = set(replaced) & committed
+        if cid in committed and leftovers:
+            store.drop_runs(sorted(leftovers))
+            healed["rolled_forward"] += 1
+    orphans = sorted(
+        rid for rid in store.committed_run_ids()
+        if rid.startswith(COMPACT_PREFIX) and rid not in log)
+    if orphans:
+        store.drop_runs(orphans)
+        healed["rolled_back"] = len(orphans)
+    return healed
+
+
+def compact_docs(store: DocStore, num_files: int = 8,
+                 compact_id: str | None = None) -> dict:
+    """Rewrite every committed run into ONE compact run of ``num_files``
+    files — the small-files maintenance pass an incremental crawl needs:
+    ten thousand resumed runs × 32 part files each turns every
+    corpus-wide post-pass into a listing/open storm; compaction restores
+    O(num_files) scans without touching a single row's content.
+
+    Crash-safe by marker (see :func:`heal_compaction`): write the
+    compact run (atomic per-partition commit) → mark it done (its urls
+    are already settled under the original runs, so the resume healing
+    must not backfill them a second time) → record the compaction
+    marker (the commit point) → drop the replaced runs. History is
+    preserved where it lives: ``_done_urls`` and ``_lineage`` keep the
+    ORIGINAL run_ids; only the physical docs layout changes.
+
+    On Iceberg the engine-native equivalent is
+    ``CALL rewrite_data_files`` — this seam-level version exists so the
+    parquet-dir and catalog stores share one tested protocol.
+
+    Returns a summary dict; a store with ≤1 committed run is already
+    compact (no-op)."""
+    heal_compaction(store)
+    if store.has_legacy_flat_docs():
+        raise ValueError(
+            "compaction requires the run_id-partitioned layout; "
+            "re-extract the legacy flat docs into a partitioned store "
+            "first")
+    old = sorted(store.committed_run_ids())
+    if len(old) <= 1:
+        return {"compacted_runs": 0, "compact_id": None, "n_docs": 0}
+    cid = compact_id or (COMPACT_PREFIX + uuid.uuid4().hex[:12])
+    rewritten = (store.read_docs()
+                 .repartition(num_files)
+                 .withColumn("run_id", F.lit(cid)))
+    store.append_docs(rewritten)
+    store.mark_done([cid])
+    store.record_compaction(cid, old)      # <- the commit point
+    store.drop_runs(old)
+    n_docs = store.read_docs().count()
+    return {"compacted_runs": len(old), "compact_id": cid,
+            "n_docs": n_docs}
