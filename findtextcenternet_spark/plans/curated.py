@@ -1,7 +1,7 @@
 """Curated driver-facing registry: every operator, ≤50 entries.
 
 The driver's CORRECTNESS artifact records at most 50 ``queries()`` entries
-per round; the full registry has 78. For two rounds the overflow (the
+per round; the full registry has 81. For two rounds the overflow (the
 dedup/ANN/LLM-data ops and the pipeline entries) silently missed the hard
 gate (VERDICT r2 'next round' item 1). This module folds near-duplicate
 relational demos into merged entries — each merged query UNIONs its legs
