@@ -698,6 +698,13 @@ def run_extract(pages: DataFrame, out_dir: str,
     spark = pages.sparkSession
     store = store or ParquetDirStore(spark, out_dir)
     run_id = run_id or uuid.uuid4().hex[:12]
+    if run_id.startswith(COMPACT_PREFIX):
+        # the prefix is reserved for compaction rewrites: an extraction
+        # run named compact-* would be rolled back as an orphan by the
+        # next heal_compaction (deleting real docs)
+        raise ValueError(
+            f"run_id must not start with {COMPACT_PREFIX!r} "
+            "(reserved for compact_docs rewrites)")
 
     done = _settled_urls(store, heal=True)
     todo = pages if done is None else pages.join(done, "url", "left_anti")
@@ -818,6 +825,12 @@ def compact_docs(store: DocStore, num_files: int = 8,
 
     Returns a summary dict; a store with ≤1 committed run is already
     compact (no-op)."""
+    if compact_id is not None and not compact_id.startswith(COMPACT_PREFIX):
+        # the prefix is how heal_compaction recognizes an unmarked
+        # compact run to roll back — without it a crashed compaction
+        # would survive as duplicate rows
+        raise ValueError(
+            f"compact_id must start with {COMPACT_PREFIX!r}")
     heal_compaction(store)
     if store.has_legacy_flat_docs():
         raise ValueError(

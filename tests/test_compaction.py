@@ -196,3 +196,16 @@ def test_cli_compact_after_batch(tmp_path):
     n_files = sum(f.endswith(".parquet")
                   for _r, _d, fs in os.walk(docs_dir) for f in fs)
     assert n_files == 2
+
+
+def test_compact_prefix_guards(spark, tmp_path):
+    """The compact- prefix is load-bearing for crash recovery: a custom
+    compact_id without it, or an extraction run named with it, is
+    rejected up front."""
+    store = InMemoryCatalogStore(spark)
+    with pytest.raises(ValueError, match="compact_id must start"):
+        compact_docs(store, compact_id="nightly-rewrite")
+    pages = pages_from_pandas(spark, generate_pages(4))
+    with pytest.raises(ValueError, match="reserved for compact_docs"):
+        run_extract(pages, str(tmp_path / "o"), run_id="compact-r1",
+                    store=store)
