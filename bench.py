@@ -40,6 +40,8 @@ HEADLINE = [
     "token_count_total",      # corpus token counting
     "pii_scrub",              # email/IPv4 redaction, row-local (r6)
     "url_canonical_dedup",    # canonical-URL collapse, one groupBy (r6)
+    "host_pagerank",          # 5-round power iteration on host graph (r6)
+    "dsir_weights",           # importance-resampling doc weights (r6)
 ]
 
 

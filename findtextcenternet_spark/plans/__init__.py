@@ -11,6 +11,7 @@ def full_registry():
         multimodal_plans,
         relational,
         training_data,
+        webgraph,
     )
     from .registry_core import registry
 

@@ -1,7 +1,7 @@
 """Curated driver-facing registry: every operator, ≤50 entries.
 
 The driver's CORRECTNESS artifact records at most 50 ``queries()`` entries
-per round; the full registry has 81. For two rounds the overflow (the
+per round; the full registry has 85. For two rounds the overflow (the
 dedup/ANN/LLM-data ops and the pipeline entries) silently missed the hard
 gate (VERDICT r2 'next round' item 1). This module folds near-duplicate
 relational demos into merged entries — each merged query UNIONs its legs
@@ -105,6 +105,16 @@ LEGS: dict[str, list[tuple[str, str]]] = {
                             ("kmv_est", "d")],
     "url_canonical_dedup": [("canon_url", "s"), ("n", "d"),
                             ("first_doc", "s")],
+    "a10_rollup_bbox": [("o_custkey", "s"), ("o_orderkey", "s"),
+                        ("x1", "d"), ("x2", "d"), ("n", "d")],
+    "a12_cluster_prune": [("event_id", "s"), ("user_id", "s")],
+    "link_host_graph": [("src_host", "s"), ("dst_host", "s"),
+                        ("n_links", "d")],
+    "host_degree": [("host", "s"), ("out_deg", "d"), ("n_out", "d"),
+                    ("in_deg", "d"), ("n_in", "d")],
+    "host_pagerank": [("host", "s"), ("pagerank", "d")],
+    "dsir_weights": [("doc_id", "s"), ("n_tokens", "d"),
+                     ("dsir_logw", "d")],
     "doc_fingerprint": [("doc_id", "s"), ("fp", "s"), ("n_bytes", "d")],
     # rhash is a full-range int64 — a double cast would lose precision
     # above 2^53, so it rides as a string
@@ -155,8 +165,18 @@ MERGES: list[tuple[str, list[str]]] = [
                              # canonicalization and the KMV cardinality
                              # sketch ride in the same slot
                              "pii_scrub", "url_canonical_dedup",
-                             "kmv_distinct_tokens"]),
+                             "kmv_distinct_tokens",
+                             # r6: DSIR importance-resampling weights —
+                             # data selection is a curation op
+                             "dsir_weights"]),
     ("doc_fingerprints", ["doc_fingerprint", "doc_rolling_hash"]),
+    # r6: two rollup/prune relational demos fold into one slot to make
+    # room for the webgraph entry below (window stays at 46+4)
+    ("a10_a12_rollup_prune", ["a10_rollup_bbox", "a12_cluster_prune"]),
+    # r6: host-graph layer — weighted edge derivation, fan-in/out
+    # degrees, and the 5-round PageRank power iteration
+    ("webgraph_ops", ["link_host_graph", "host_degree",
+                      "host_pagerank"]),
 ]
 
 
