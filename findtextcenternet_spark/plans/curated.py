@@ -113,6 +113,7 @@ LEGS: dict[str, list[tuple[str, str]]] = {
     "host_degree": [("host", "s"), ("out_deg", "d"), ("n_out", "d"),
                     ("in_deg", "d"), ("n_in", "d")],
     "host_pagerank": [("host", "s"), ("pagerank", "d")],
+    "host_hits": [("host", "s"), ("hub", "d"), ("auth", "d")],
     "dsir_weights": [("doc_id", "s"), ("n_tokens", "d"),
                      ("dsir_logw", "d")],
     "doc_fingerprint": [("doc_id", "s"), ("fp", "s"), ("n_bytes", "d")],
@@ -174,9 +175,10 @@ MERGES: list[tuple[str, list[str]]] = [
     # room for the webgraph entry below (window stays at 46+4)
     ("a10_a12_rollup_prune", ["a10_rollup_bbox", "a12_cluster_prune"]),
     # r6: host-graph layer — weighted edge derivation, fan-in/out
-    # degrees, and the 5-round PageRank power iteration
+    # degrees, the 5-round PageRank power iteration, and HITS
+    # hub/authority scores
     ("webgraph_ops", ["link_host_graph", "host_degree",
-                      "host_pagerank"]),
+                      "host_pagerank", "host_hits"]),
 ]
 
 

@@ -233,6 +233,107 @@ def host_pagerank(spark, sf_dir):
     return pagerank_from_edges(edges, hosts)
 
 
+# --------------------------------------------------------------- HITS
+
+_HITS_ITERS = 5
+
+
+def hits_from_edges(edges: DataFrame, hosts: DataFrame,
+                    iters: int = _HITS_ITERS) -> DataFrame:
+    """Kleinberg's HITS (1999) over a weighted edge list: per round,
+    authority(v) = Σ_{u→v} w·hub(u), then hub(u) = Σ_{u→v} w·auth(v),
+    each half-step L1-normalized (sum-to-one keeps every value an exact
+    ratio of two double sums — the same cross-engine drift class as
+    PageRank, ~1e-15 under round-6).
+
+    Scale shape mirrors :func:`pagerank_from_edges`: the score tables
+    stay |hosts| rows (AQE broadcasts them onto the edge side), each
+    half-step is ONE shuffle on the aggregated endpoint, the L1 total is
+    a 1-row aggregate crossJoined back (broadcast by construction), and
+    lazy localCheckpoints truncate lineage per half-step."""
+    n = hosts.count()
+    if n == 0:
+        return hosts.select("host", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("auth"))
+    e = edges.localCheckpoint(eager=False)
+    hub = hosts.select("host", F.lit(1.0 / n).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        # checkpoint the raw half-step aggregate so the L1 total and the
+        # host re-join read ONE materialization instead of recomputing it
+        a_raw = (e.join(hub, e.src_host == hub.host)
+                 .groupBy("dst_host")
+                 .agg(F.sum(F.col("w") * F.col("hub")).alias("a"))
+                 .localCheckpoint(eager=False))
+        a_all = (hosts.join(a_raw, hosts.host == a_raw.dst_host, "left")
+                 .select("host", F.coalesce("a", F.lit(0.0)).alias("a")))
+        a_tot = a_raw.agg(F.sum("a").alias("t"))
+        auth = (a_all.crossJoin(F.broadcast(a_tot))
+                .select("host", (F.col("a") / F.col("t")).alias("auth"))
+                .localCheckpoint(eager=False))
+        h_raw = (e.join(auth, e.dst_host == auth.host)
+                 .groupBy("src_host")
+                 .agg(F.sum(F.col("w") * F.col("auth")).alias("v"))
+                 .localCheckpoint(eager=False))
+        h_all = (hosts.join(h_raw, hosts.host == h_raw.src_host, "left")
+                 .select("host", F.coalesce("v", F.lit(0.0)).alias("v")))
+        h_tot = h_raw.agg(F.sum("v").alias("t"))
+        hub = (h_all.crossJoin(F.broadcast(h_tot))
+               .select("host", (F.col("v") / F.col("t")).alias("hub"))
+               .localCheckpoint(eager=False))
+    return (hub.join(auth, "host")
+            .select("host", F.round("hub", 6).alias("hub"),
+                    F.round("auth", 6).alias("auth")))
+
+
+def _hits_sql(iters: int = _HITS_ITERS) -> str:
+    sql = f"""
+WITH {_LINKS_SQL_BODY},
+e AS (SELECT src_host, dst_host, CAST(count(*) AS DOUBLE) AS w
+      FROM links GROUP BY src_host, dst_host),
+h AS (SELECT DISTINCT source AS host FROM documents),
+hub0 AS (SELECT host, 1.0 / nh.k AS hub FROM h, nh)"""
+    # each CTE below is referenced EXACTLY once (the L1 total is a
+    # window sum over the already-joined rows, not a second scan of the
+    # aggregate): a planner that inlines multiply-referenced CTEs would
+    # otherwise re-expand every half-step and go exponential in `iters`
+    for it in range(1, iters + 1):
+        sql += f""",
+ar{it} AS (SELECT e.dst_host, sum(e.w * hub{it - 1}.hub) AS a
+           FROM e JOIN hub{it - 1} ON hub{it - 1}.host = e.src_host
+           GROUP BY e.dst_host),
+auth{it} AS (SELECT h.host,
+                    coalesce(r.a, 0.0)
+                    / sum(coalesce(r.a, 0.0)) OVER () AS auth
+             FROM h LEFT JOIN ar{it} r ON r.dst_host = h.host),
+hr{it} AS (SELECT e.src_host, sum(e.w * auth{it}.auth) AS v
+           FROM e JOIN auth{it} ON auth{it}.host = e.dst_host
+           GROUP BY e.src_host),
+hub{it} AS (SELECT h.host,
+                   coalesce(r.v, 0.0)
+                   / sum(coalesce(r.v, 0.0)) OVER () AS hub
+            FROM h LEFT JOIN hr{it} r ON r.src_host = h.host)"""
+    return sql + f"""
+SELECT hub{iters}.host, round(hub{iters}.hub, 6) AS hub,
+       round(auth{iters}.auth, 6) AS auth
+FROM hub{iters} JOIN auth{iters} ON auth{iters}.host = hub{iters}.host"""
+
+
+@register("host_hits", _hits_sql())
+def host_hits(spark, sf_dir):
+    """Host-level HITS hub/authority scores over the derived link graph:
+    {_HITS_ITERS} mutually-recursive rounds, L1-normalized per half-step.
+    The DuckDB oracle unrolls the identical half-steps as chained CTEs,
+    hash-checking the fixpoint math like the PageRank entry."""
+    docs = _t(spark, sf_dir, "documents")
+    n = _n_hosts(docs)
+    edges = (host_link_edges_df(docs, n)
+             .groupBy("src_host", "dst_host")
+             .agg(F.count("*").cast("double").alias("w")))
+    hosts = docs.select(F.col("source").alias("host")).distinct()
+    return hits_from_edges(edges, hosts)
+
+
 # -------------------------------------- DSIR importance-resampling weight
 
 _DSIR_BUCKETS = 256  # hashed-unigram feature space (one hex byte)

@@ -21,7 +21,9 @@ OPS = [
     "dedup_clusters", "dedup_exact", "dedup_lsh_verified",
     "dedup_minhash_lsh", "dedup_minhash_signature", "dedup_ngram_jaccard",
     "dedup_paragraph", "dedup_simhash", "doc_fingerprint",
-    "doc_rolling_hash", "domain_cap", "domain_stats", "f4_ruby_decode",
+    "doc_rolling_hash", "domain_cap", "domain_stats", "dsir_weights",
+    "host_degree", "host_hits", "host_pagerank", "link_host_graph",
+    "f4_ruby_decode",
     "f5_ruby_html_encode", "f6_whitespace_classify", "f7_space_normalize",
     "f8_script_class", "f9_utf32_codepoints", "gopher_repetition",
     "kmv_distinct_tokens", "lang_id", "lang_mix_weights",

@@ -83,6 +83,37 @@ def test_pagerank_sink_heavy_node_ranks_higher(spark):
     assert min(pr.values()) >= (1.0 - _DAMP) / 6 - 1e-12
 
 
+def test_hits_l1_norm_and_positivity(spark):
+    """Each HITS half-step L1-normalizes, so hub and auth each sum to 1
+    on the derived corpus graph (every host reachable both ways)."""
+    from findtextcenternet_spark.plans.webgraph import host_hits
+
+    rows = host_hits(spark, SF).collect()
+    assert math.isclose(sum(r.hub for r in rows), 1.0, abs_tol=1e-4)
+    assert math.isclose(sum(r.auth for r in rows), 1.0, abs_tol=1e-4)
+    assert all(r.hub >= 0 and r.auth >= 0 for r in rows)
+
+
+def test_hits_hub_and_authority_split(spark):
+    """The defining asymmetry: a node all others point AT gets the top
+    authority (and no hub mass — it has no informative outlinks), while
+    the pointers split the hub mass."""
+    from findtextcenternet_spark.plans.webgraph import hits_from_edges
+
+    spokes = [(f"h{i}", "hub", 1.0) for i in range(1, 6)]
+    edges = spark.createDataFrame(
+        pd.DataFrame(spokes + [("hub", "h1", 1.0)],
+                     columns=["src_host", "dst_host", "w"]))
+    hosts = spark.createDataFrame(
+        pd.DataFrame({"host": ["hub"] + [f"h{i}" for i in range(1, 6)]}))
+    s = {r.host: (r.hub, r.auth) for r in
+         hits_from_edges(edges, hosts).collect()}
+    assert s["hub"][1] > max(a for k, (_, a) in s.items() if k != "hub")
+    assert max(h for k, (h, _) in s.items() if k != "hub") > s["hub"][0]
+    # h2..h5 are pure hubs with identical structure → identical scores
+    assert len({s[f"h{i}"][0] for i in range(2, 6)}) == 1
+
+
 def test_dsir_target_stratum_scores_higher(spark):
     """DSIR log-weights measure similarity to the lang='en' target: the
     en stratum's mean per-token log-ratio must exceed the rest's."""
