@@ -1,7 +1,7 @@
 """Curated driver-facing registry: every operator, ≤50 entries.
 
 The driver's CORRECTNESS artifact records at most 50 ``queries()`` entries
-per round; the full registry has 85. For two rounds the overflow (the
+per round; the full registry has 87. For two rounds the overflow (the
 dedup/ANN/LLM-data ops and the pipeline entries) silently missed the hard
 gate (VERDICT r2 'next round' item 1). This module folds near-duplicate
 relational demos into merged entries — each merged query UNIONs its legs
@@ -79,6 +79,8 @@ LEGS: dict[str, list[tuple[str, str]]] = {
                            ("jaccard", "d")],
     "dedup_clusters": [("doc_id", "s"), ("cluster_keeper", "s"),
                        ("cluster_size", "d")],
+    "dedup_keep_best": [("doc_id", "s"), ("cluster_keeper", "s"),
+                        ("best_doc", "s"), ("keep", "s")],
     "dedup_exact": [("fp", "s"), ("keeper", "s"), ("n_dups", "d")],
     "dedup_paragraph": [("doc_id", "s"), ("clean_text", "s"),
                         ("n_dropped", "d")],
@@ -145,7 +147,10 @@ MERGES: list[tuple[str, list[str]]] = [
                               "f6_whitespace_classify", "f8_script_class"]),
     # r6: the near-dup finish line — LSH-verified pairs + their transitive
     # clusters; and exact dedup + paragraph-grain dedup
-    ("dedup_pairs_clusters", ["dedup_lsh_verified", "dedup_clusters"]),
+    ("dedup_pairs_clusters", ["dedup_lsh_verified", "dedup_clusters",
+                              # r6: quality-aware keeper selection — the
+                              # corpus-level keep/drop decision table
+                              "dedup_keep_best"]),
     # r6: window_dedup rides with the other whole/part-doc dedup grains
     # (exact, paragraph, cross-doc 8-word windows)
     ("dedup_exact_paragraph", ["dedup_exact", "dedup_paragraph",

@@ -703,6 +703,75 @@ def dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+def keep_best_per_cluster(docs, lab, id_col: str = "doc_id"):
+    """Quality-aware keeper selection: given the cluster labeling
+    ``lab = (doc_id, cluster_keeper)`` and the corpus, pick per cluster
+    the doc with the MOST tokens (tie → min doc_id) as ``best_doc`` and
+    flag every doc with ``keep`` — real pipelines keep the best version
+    of a duplicated page (the full article, not the truncated syndication
+    copy), not the one with the smallest id. Docs outside every cluster
+    are singletons: their own keeper, always kept.
+
+    Scale shape: ``lab`` holds only near-dup docs (a small fraction of
+    the corpus), so the row_number window runs over clusters only; the
+    corpus-wide legs are one hash join + one anti-join on the id, both
+    AQE-broadcastable when the duplicate set is small.
+    """
+    q = docs.select(id_col, F.size(F.split("text", " "))
+                    .cast("long").alias("n_tokens"))
+    clustered = lab.select(id_col, "cluster_keeper").join(q, id_col)
+    w = Window.partitionBy("cluster_keeper").orderBy(
+        F.desc("n_tokens"), F.asc(id_col))
+    best = (clustered.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("cluster_keeper", F.col(id_col).alias("best_doc")))
+    in_cluster = (clustered.join(best, "cluster_keeper")
+                  .select(id_col, "cluster_keeper", "best_doc",
+                          (F.col(id_col) == F.col("best_doc"))
+                          .alias("keep")))
+    singles = (docs.join(lab.select(id_col), id_col, "left_anti")
+               .select(id_col,
+                       F.col(id_col).alias("cluster_keeper"),
+                       F.col(id_col).alias("best_doc"),
+                       F.lit(True).alias("keep")))
+    return in_cluster.unionByName(singles)
+
+
+@register("dedup_keep_best", """
+WITH RECURSIVE pr AS (""" + _LSH_VERIFIED_SQL + """),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+walk(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+lab AS (SELECT u AS doc_id, min(lbl) AS cluster_keeper FROM walk GROUP BY u),
+q AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+ranked AS (
+  SELECT l.doc_id, l.cluster_keeper,
+         row_number() OVER (PARTITION BY l.cluster_keeper
+                            ORDER BY q.n_tokens DESC, l.doc_id ASC) AS rk
+  FROM lab l JOIN q ON q.doc_id = l.doc_id),
+best AS (SELECT cluster_keeper, doc_id AS best_doc FROM ranked
+         WHERE rk = 1)
+SELECT r.doc_id, r.cluster_keeper, b.best_doc,
+       r.doc_id = b.best_doc AS keep
+FROM ranked r JOIN best b ON b.cluster_keeper = r.cluster_keeper
+UNION ALL
+SELECT d.doc_id, d.doc_id, d.doc_id, TRUE
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM lab)
+""")
+def dedup_keep_best(spark, sf_dir):
+    """The corpus-level dedup DECISION table: every doc gets a row with
+    its cluster, the quality-chosen keeper, and a keep flag. Downstream
+    is one filter (``WHERE keep``) — no joins needed at read time."""
+    docs = _t(spark, sf_dir, "documents")
+    lab = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_keeper")
+    return keep_best_per_cluster(docs, lab)
+
+
 # --------------------------------------------- paragraph-grain dedup
 
 def drop_repeated_paragraphs(docs, id_col: str = "url",

@@ -143,3 +143,27 @@ def test_drop_repeated_paragraphs_metachar_separator(spark):
         spark.createDataFrame(docs), sep="|", max_count=1).collect()
     got = {r.url: (r.clean_text, r.n_dropped) for r in out}
     assert got == {"a": ("own a", 1), "b": ("own b", 1)}
+
+
+def test_keep_best_per_cluster_quality_beats_min_id(spark):
+    """Keeper selection is by quality (token count), NOT min doc_id: in
+    cluster {1,2,3} the longest doc (3) wins; ties fall back to min id
+    (cluster {10,11}); singletons (99) are their own keeper, kept."""
+    from findtextcenternet_spark.plans.training_data import (
+        keep_best_per_cluster,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 10, 11, 99], dtype="int64"),
+        "text": ["one two", "one", "one two three four",
+                 "same len a", "same len b", "alone here"],
+    }))
+    lab = spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 10, 11], dtype="int64"),
+        "cluster_keeper": pd.array([1, 1, 1, 10, 10], dtype="int64"),
+    }))
+    rows = {r.doc_id: r for r in keep_best_per_cluster(docs, lab).collect()}
+    assert {d: r.best_doc for d, r in rows.items()} == {
+        1: 3, 2: 3, 3: 3, 10: 10, 11: 10, 99: 99}
+    assert {d for d, r in rows.items() if r.keep} == {3, 10, 99}
+    assert rows[99].cluster_keeper == 99
