@@ -1,7 +1,7 @@
 """Curated driver-facing registry: every operator, ≤50 entries.
 
 The driver's CORRECTNESS artifact records at most 50 ``queries()`` entries
-per round; the full registry has 87. For two rounds the overflow (the
+per round; the full registry has 88. For two rounds the overflow (the
 dedup/ANN/LLM-data ops and the pipeline entries) silently missed the hard
 gate (VERDICT r2 'next round' item 1). This module folds near-duplicate
 relational demos into merged entries — each merged query UNIONs its legs
@@ -116,6 +116,8 @@ LEGS: dict[str, list[tuple[str, str]]] = {
                     ("in_deg", "d"), ("n_in", "d")],
     "host_pagerank": [("host", "s"), ("pagerank", "d")],
     "host_hits": [("host", "s"), ("hub", "d"), ("auth", "d")],
+    "host_anchor_terms": [("dst_host", "s"), ("term", "s"),
+                          ("n", "d"), ("rk", "d")],
     "dsir_weights": [("doc_id", "s"), ("n_tokens", "d"),
                      ("dsir_logw", "d")],
     "doc_fingerprint": [("doc_id", "s"), ("fp", "s"), ("n_bytes", "d")],
@@ -183,7 +185,9 @@ MERGES: list[tuple[str, list[str]]] = [
     # degrees, the 5-round PageRank power iteration, and HITS
     # hub/authority scores
     ("webgraph_ops", ["link_host_graph", "host_degree",
-                      "host_pagerank", "host_hits"]),
+                      "host_pagerank", "host_hits",
+                      # r6: anchor-text top terms per target host
+                      "host_anchor_terms"]),
 ]
 
 

@@ -400,3 +400,69 @@ def dsir_weights(spark, sf_dir):
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_tokens"),
                  F.round(F.sum("logw"), 6).alias("dsir_logw")))
+
+
+# --------------------------------------------- anchor-text aggregation
+
+_TOP_ANCHORS = 3
+
+
+@register("host_anchor_terms", f"""
+WITH nh AS (SELECT count(DISTINCT source) AS k FROM documents),
+links AS (
+  SELECT lower(string_split(text, ' ')[1]) AS term,
+         'src' || CAST(({_hex_byte_sql(
+             "md5(CAST(doc_id AS VARCHAR) || '|' || CAST(l.i AS VARCHAR))")}
+                        % nh.k) AS VARCHAR) AS dst_host
+  FROM documents, nh, (VALUES (1), (2), (3)) AS l(i)
+  WHERE length(text) > 0),
+c AS (SELECT dst_host, term, count(*) AS n
+      FROM links GROUP BY dst_host, term),
+r AS (SELECT dst_host, term, n,
+             row_number() OVER (PARTITION BY dst_host
+                                ORDER BY n DESC, term ASC) AS rk
+      FROM c)
+SELECT dst_host, term, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_TOP_ANCHORS}
+""")
+def host_anchor_terms(spark, sf_dir):
+    """Anchor-text aggregation: what the web SAYS a host is. Each
+    derived outlink carries an anchor term from the LINKING document
+    (deterministically its first token, lowercased — both engines slice
+    identically); per target host, keep the top {_TOP_ANCHORS} terms by
+    link count (tie → lexicographic). The classic search/corpus signal
+    (anchor text describes the target better than the target itself)
+    and a quality feature for host-level curation.
+
+    Scale shape: anchors ride ON the edge rows (no join back to the
+    source doc — the projection happens before the explode), so the op
+    is one map-side derivation, one (dst_host, term) count shuffle, and
+    a per-host top-k window whose partitions are at most |terms per
+    host| rows. At 100 TB the count table after partial aggregation is
+    tiny relative to the edge stream; a viral host with millions of
+    distinct anchors still windows on its own partition only — AQE
+    skew-split applies, and no global sort exists anywhere."""
+    from pyspark.sql.window import Window
+
+    all_docs = _t(spark, sf_dir, "documents")
+    n = _n_hosts(all_docs)     # host space from the FULL table, like nh
+    docs = all_docs.where(F.length("text") > 0)
+    term = F.lower(F.element_at(F.split("text", " "), 1))
+    dsts = [
+        F.concat(
+            F.lit("src"),
+            (_hex_byte_col(
+                F.md5(F.encode(
+                    F.concat(F.col("doc_id").cast("string"),
+                             F.lit(f"|{i}")), "utf-8")))
+             % n).cast("string"))
+        for i in range(1, _N_LINKS + 1)
+    ]
+    links = docs.select(term.alias("term"),
+                        F.explode(F.array(*dsts)).alias("dst_host"))
+    counts = (links.groupBy("dst_host", "term")
+              .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("term"))
+    return (counts.withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= _TOP_ANCHORS)
+            .select("dst_host", "term", "n", "rk"))
