@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="after extraction: MinHash-LSH + Jaccard-verified "
                          "transitive cluster dedup, keep one doc per "
                          "cluster (crawl.crawl_to_corpus)")
+    ap.add_argument("--keep-best", action="store_true",
+                    help="with --near-dedup: keep the cluster member "
+                         "with the most tokens (tie: min id) instead of "
+                         "the min-id member")
     ap.add_argument("--para-dedup", type=int, default=None, metavar="N",
                     help="after extraction: drop paragraphs occurring "
                          "more than N times corpus-wide (boilerplate)")
@@ -94,6 +98,9 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.index and args.input_format != "warc":
         ap.error("--index requires --format warc")
+    if args.keep_best and not args.near_dedup:
+        ap.error("--keep-best only changes the near-dedup keeper; "
+                 "it requires --near-dedup")
     # the quality gate is per-doc (row-local), so it IS micro-batch-safe
     # and allowed under --streaming; the rest are corpus-wide passes
     batch_only_flags = (args.near_dedup or args.para_dedup is not None
@@ -170,6 +177,7 @@ def main(argv: list[str] | None = None) -> int:
             input_format=args.input_format,
             wet_dir=args.wet_out, cdx_mime=args.cdx_mime,
             cdx_prefix=args.cdx_prefix, near_dedup=args.near_dedup,
+            near_dedup_keep_best=args.keep_best,
             para_dedup_max=args.para_dedup,
             quality_gate=args.quality_gate, host_cap=args.host_cap,
             url_canon=args.url_canon, pii_scrub=args.pii_scrub,

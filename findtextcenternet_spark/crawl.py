@@ -55,12 +55,33 @@ def near_dup_clusters(docs: DataFrame, id_col: str = "url",
 
 
 def near_dup_filter(docs: DataFrame, id_col: str = "url",
-                    text_col: str = "text", threshold: float = 0.5
+                    text_col: str = "text", threshold: float = 0.5,
+                    keep_best: bool = False
                     ) -> tuple[DataFrame, DataFrame]:
     """(kept_docs, clusters): drop every cluster member except its
     keeper; docs outside any cluster pass through untouched. The drop
-    set is an anti-join on the id — text never shuffles twice."""
+    set is an anti-join on the id — text never shuffles twice.
+
+    ``keep_best=True`` keeps the cluster member with the MOST tokens
+    (tie → min id) instead of the min-id member: the full article
+    survives, the truncated syndication copy is dropped
+    (plans.training_data.keep_best_per_cluster, the `dedup_keep_best`
+    registry op)."""
     clusters = near_dup_clusters(docs, id_col, text_col, threshold)
+    if keep_best:
+        from .plans.training_data import keep_best_per_cluster
+
+        lab = clusters.select(id_col,
+                              F.col("keeper").alias("cluster_keeper"))
+        decision = keep_best_per_cluster(
+            docs.select(F.col(id_col), F.col(text_col).alias("text")),
+            lab, id_col=id_col, include_singletons=False)
+        # re-key the cluster report on the quality keeper so the summary
+        # counts describe the doc that actually survives
+        clusters = (decision
+                    .join(clusters.select(id_col, "cluster_size"), id_col)
+                    .select(id_col, F.col("best_doc").alias("keeper"),
+                            "cluster_size"))
     losers = (clusters.filter(F.col(id_col) != F.col("keeper"))
               .select(id_col))
     return docs.join(losers, id_col, "left_anti"), clusters
@@ -212,6 +233,7 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
                     cdx_mime: str | None = None,
                     cdx_prefix: str | None = None,
                     near_dedup: bool = True,
+                    near_dedup_keep_best: bool = False,
                     para_dedup_max: int | None = None,
                     quality_gate: bool = False,
                     host_cap: int | None = None,
@@ -304,7 +326,8 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
             summary["quality_rejected"] = rejected.count()
 
         if near_dedup:
-            docs, clusters = near_dup_filter(docs)
+            docs, clusters = near_dup_filter(
+                docs, keep_best=near_dedup_keep_best)
             stats = clusters.agg(
                 F.count("*").alias("n"),
                 F.sum((F.col("url") != F.col("keeper")).cast("long"))

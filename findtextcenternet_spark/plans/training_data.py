@@ -703,7 +703,8 @@ def dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
-def keep_best_per_cluster(docs, lab, id_col: str = "doc_id"):
+def keep_best_per_cluster(docs, lab, id_col: str = "doc_id",
+                          include_singletons: bool = True):
     """Quality-aware keeper selection: given the cluster labeling
     ``lab = (doc_id, cluster_keeper)`` and the corpus, pick per cluster
     the doc with the MOST tokens (tie → min doc_id) as ``best_doc`` and
@@ -729,6 +730,11 @@ def keep_best_per_cluster(docs, lab, id_col: str = "doc_id"):
                   .select(id_col, "cluster_keeper", "best_doc",
                           (F.col(id_col) == F.col("best_doc"))
                           .alias("keep")))
+    if not include_singletons:
+        # caller only wants the per-cluster decision (e.g. the crawl
+        # flagship, which anti-joins losers out) — skip the corpus-wide
+        # anti-join that tags every non-clustered doc as its own keeper
+        return in_cluster
     singles = (docs.join(lab.select(id_col), id_col, "left_anti")
                .select(id_col,
                        F.col(id_col).alias("cluster_keeper"),

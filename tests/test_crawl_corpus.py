@@ -128,6 +128,22 @@ def test_near_dup_filter_unit(spark):
     assert c == {"k1": "k1", "k2": "k1", "k3": "k1"}
 
 
+def test_near_dup_filter_keep_best(spark):
+    """keep_best=True keeps the cluster member with the MOST tokens —
+    the k2 mutation ADDS two tokens, so the longer near-dup wins over
+    the min-id member; singletons pass through untouched."""
+    base = _text(7)
+    docs = spark.createDataFrame(pd.DataFrame({
+        "url": ["k1", "k2", "k3", "solo"],
+        "text": [base, _mutate(base, 2, "zz") + " extra tail", base,
+                 _text(13)],
+    }))
+    kept, clusters = near_dup_filter(docs, keep_best=True)
+    assert sorted(r.url for r in kept.collect()) == ["k2", "solo"]
+    c = {r.url: r.keeper for r in clusters.collect()}
+    assert c == {"k1": "k2", "k2": "k2", "k3": "k2"}
+
+
 def test_cli_crawl_to_corpus(tmp_path, crawl_fixture):
     warc = tmp_path / "c.warc.gz"
     warc.write_bytes(write_warc(crawl_fixture))
@@ -215,6 +231,7 @@ def test_cli_flag_guards(tmp_path):
         ["in", "out", "--streaming", "--near-dedup"],
         ["in", "out", "--format", "warc", "--index", "--wet-out", "w"],
         ["in", "out", "--format", "cdx", "--cdx-dedup", "--near-dedup"],
+        ["in", "out", "--keep-best"],
     ):
         with pytest.raises(SystemExit) as ei:
             main(argv)
