@@ -370,6 +370,59 @@ def latest_unique_captures(cdx: DataFrame) -> DataFrame:
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def latest_capture_per_url(cdx: DataFrame) -> DataFrame:
+    """Newest successful capture per urlkey — PAGE identity, unlike
+    :func:`latest_unique_captures`' payload-digest identity (a page
+    keeps its urlkey when its content changes; that change is exactly
+    what the snapshot diff below must see). Ties broken by digest for
+    determinism."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("urlkey").orderBy(
+        F.col("warc_ts").desc(), F.col("digest"))
+    return (cdx.filter(cdx.error.isNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def diff_cdx_snapshots(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Incremental-crawl planner: classify every urlkey of the NEW
+    index snapshot against the OLD one —
+
+    * ``new``       first seen in the new snapshot
+    * ``changed``   payload digest moved (content actually changed)
+    * ``unchanged`` same digest as before
+    * ``gone``      vanished from the crawl
+
+    A rolling pipeline fetches only ``status IN ('new', 'changed')``
+    rows (join back to the new index on urlkey and range-fetch via
+    :func:`fetch_cdx_records`), so a re-crawl moves bytes for exactly
+    the changed tail of the web, never the full archive.
+
+    Scale shape: one urlkey window per snapshot plus ONE full-outer
+    shuffle join on urlkey — both sides arrive hash-partitioned on the
+    join key from their windows, so the join reuses the exchange; no
+    collect, no driver-side diffing."""
+    from pyspark.sql import functions as F
+
+    o = latest_capture_per_url(old).select(
+        "urlkey", F.col("url").alias("old_url"),
+        F.col("digest").alias("old_digest"))
+    n = latest_capture_per_url(new).select(
+        "urlkey", F.col("url").alias("new_url"),
+        F.col("digest").alias("new_digest"))
+    status = (F.when(F.col("old_digest").isNull(), "new")
+              .when(F.col("new_digest").isNull(), "gone")
+              .when(F.col("old_digest") == F.col("new_digest"),
+                    "unchanged")
+              .otherwise("changed"))
+    return (o.join(n, "urlkey", "full_outer")
+            .select("urlkey",
+                    F.coalesce("new_url", "old_url").alias("url"),
+                    status.alias("status"), "old_digest", "new_digest"))
+
+
 def prune_shards(manifest: pd.DataFrame, prefix: str) -> list[str]:
     """Shard paths whose ``[first_key, last_key]`` range can contain a
     key with ``prefix`` — pure interval math on the (tiny) manifest, so

@@ -555,3 +555,39 @@ def test_warc_datasource_empty_dir(spark, tmp_path):
     register_warc_datasource(spark)
     out = spark.read.format("warc").load(str(d))
     assert out.count() == 0
+
+
+def test_diff_cdx_snapshots(spark):
+    """Incremental-crawl planner: new/changed/unchanged/gone per urlkey,
+    judged on the NEWEST capture per url in each snapshot."""
+    import datetime as dt
+
+    from findtextcenternet_spark.sources.cdx import diff_cdx_snapshots
+
+    def row(urlkey, ts_day, digest):
+        return (urlkey, dt.datetime(2026, 8, ts_day), "https://" + urlkey,
+                "text/html", 200, digest, 10, 0, "x.warc.gz", None)
+
+    old = spark.createDataFrame([
+        row("a/", 1, "d1"),
+        row("b/", 1, "d2"),
+        row("c/", 1, "dOLD"), row("c/", 2, "d3"),   # newest old c/ is d3
+    ], CDX_SCHEMA)
+    new = spark.createDataFrame([
+        row("b/", 9, "d2"),                          # same digest
+        row("c/", 9, "d4"),                          # digest moved
+        row("d/", 9, "d5"),                          # first seen
+    ], CDX_SCHEMA)
+
+    got = {r.urlkey: (r.status, r.old_digest, r.new_digest)
+           for r in diff_cdx_snapshots(old, new).collect()}
+    assert got == {
+        "a/": ("gone", "d1", None),
+        "b/": ("unchanged", "d2", "d2"),
+        "c/": ("changed", "d3", "d4"),
+        "d/": ("new", None, "d5"),
+    }
+    # the fetch set for the re-crawl is exactly the changed tail
+    fetch = (diff_cdx_snapshots(old, new)
+             .filter("status IN ('new', 'changed')"))
+    assert sorted(r.urlkey for r in fetch.collect()) == ["c/", "d/"]
