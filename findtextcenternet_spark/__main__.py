@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cdx-prefix", default=None,
                     help="with --format cdx: keep only urlkeys with "
                          "this SURT prefix")
+    ap.add_argument("--cdx-diff", default=None, metavar="OLD_IDX",
+                    help="with --format cdx: fetch only urls that are "
+                         "new or content-changed vs the OLD_IDX snapshot "
+                         "(incremental re-crawl)")
     ap.add_argument("--cdx-dedup", action="store_true",
                     help="with --format cdx: collapse re-captures to the "
                          "newest entry per payload digest before fetching")
@@ -101,6 +105,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.keep_best and not args.near_dedup:
         ap.error("--keep-best only changes the near-dedup keeper; "
                  "it requires --near-dedup")
+    if args.cdx_diff and args.input_format != "cdx":
+        ap.error("--cdx-diff compares two CDX snapshots; it requires "
+                 "--format cdx")
     # the quality gate is per-doc (row-local), so it IS micro-batch-safe
     # and allowed under --streaming; the rest are corpus-wide passes
     batch_only_flags = (args.near_dedup or args.para_dedup is not None
@@ -176,7 +183,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.out_dir,
             input_format=args.input_format,
             wet_dir=args.wet_out, cdx_mime=args.cdx_mime,
-            cdx_prefix=args.cdx_prefix, near_dedup=args.near_dedup,
+            cdx_prefix=args.cdx_prefix, cdx_diff_old=args.cdx_diff,
+            near_dedup=args.near_dedup,
             near_dedup_keep_best=args.keep_best,
             para_dedup_max=args.para_dedup,
             quality_gate=args.quality_gate, host_cap=args.host_cap,
@@ -212,6 +220,14 @@ def main(argv: list[str] | None = None) -> int:
             idx = idx.filter(F.col("mime") == args.cdx_mime)
         if args.cdx_prefix:
             idx = idx.filter(F.col("urlkey").startswith(args.cdx_prefix))
+        if args.cdx_diff:
+            from .sources.cdx import diff_cdx_snapshots
+
+            changed = (diff_cdx_snapshots(read_cdxj(spark, args.cdx_diff),
+                                          idx)
+                       .filter(F.col("status").isin("new", "changed"))
+                       .select("urlkey"))
+            idx = idx.join(changed, "urlkey", "left_semi")
         if args.cdx_dedup:
             from .sources.cdx import latest_unique_captures
 

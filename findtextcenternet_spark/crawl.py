@@ -232,6 +232,7 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
                     wet_dir: str | None = None,
                     cdx_mime: str | None = None,
                     cdx_prefix: str | None = None,
+                    cdx_diff_old: str | None = None,
                     near_dedup: bool = True,
                     near_dedup_keep_best: bool = False,
                     para_dedup_max: int | None = None,
@@ -271,6 +272,18 @@ def crawl_to_corpus(spark: SparkSession, input_path: str, out_dir: str, *,
             idx = idx.filter(F.col("mime") == cdx_mime)
         if cdx_prefix:
             idx = idx.filter(F.col("urlkey").startswith(cdx_prefix))
+        if cdx_diff_old:
+            # incremental re-crawl: judge THIS index against the previous
+            # snapshot and fetch only urls whose content is new or
+            # changed — unchanged bytes never leave the archive (resume
+            # dedups at the extraction grain; this saves the FETCH)
+            from .sources.cdx import diff_cdx_snapshots
+
+            changed = (diff_cdx_snapshots(read_cdxj(spark, cdx_diff_old),
+                                          idx)
+                       .filter(F.col("status").isin("new", "changed"))
+                       .select("urlkey"))
+            idx = idx.join(changed, "urlkey", "left_semi")
         idx = latest_unique_captures(idx)
         pages = fetch_cdx_records(spark, idx).drop("error")
     else:

@@ -388,3 +388,33 @@ def test_crawl_to_corpus_url_canon_and_pii(spark, tmp_path, crawl_fixture):
     assert "<EMAIL>" in pii_text and "<IP>" in pii_text
     assert "admin@example.org" not in pii_text
     assert "192.168.0.9" not in pii_text
+
+
+def test_crawl_to_corpus_incremental_cdx_diff(spark, tmp_path):
+    """--cdx-diff: the second crawl fetches ONLY new/changed urls — the
+    unchanged re-captures never leave the archive."""
+    snap1 = [_page(f"https://c.example.org/u{i:02d}", _text(i))
+             for i in range(10)]
+    snap2 = ([_page(f"https://c.example.org/u{i:02d}", _text(i))
+              for i in range(10) if i != 3]
+             + [_page("https://c.example.org/u03",
+                      _text(3) + " freshly edited tail"),
+                _page("https://c.example.org/u20", _text(20))])
+    (tmp_path / "w1.warc.gz").write_bytes(write_warc(snap1))
+    (tmp_path / "w2.warc.gz").write_bytes(write_warc(snap2))
+    idx1, idx2 = tmp_path / "idx1", tmp_path / "idx2"
+    write_cdxj(build_cdx(spark, str(tmp_path / "w1.warc.gz")),
+               str(idx1)).collect()
+    write_cdxj(build_cdx(spark, str(tmp_path / "w2.warc.gz")),
+               str(idx2)).collect()
+
+    s = crawl_to_corpus(spark, str(idx2), str(tmp_path / "out"),
+                        input_format="cdx", cdx_diff_old=str(idx1),
+                        near_dedup=False)
+    docs = (spark.read.parquet(str(tmp_path / "out" / "docs"))
+            .filter(F.col("error").isNull()).toPandas())
+    assert sorted(docs["url"]) == ["https://c.example.org/u03",
+                                   "https://c.example.org/u20"]
+    assert s["near_dup_dropped"] == 0    # dedup off; diff did the saving
+    assert docs.set_index("url").loc[
+        "https://c.example.org/u03", "text"].endswith("freshly edited tail")

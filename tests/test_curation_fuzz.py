@@ -18,10 +18,12 @@ import pytest
 # table (tests/test_curation_fuzz.py asserts this list is exhaustive)
 OPS = [
     "curation_e2e", "curation_filter", "decontaminate_ngram",
-    "dedup_clusters", "dedup_exact", "dedup_lsh_verified",
+    "dedup_clusters", "dedup_exact", "dedup_keep_best",
+    "dedup_lsh_verified",
     "dedup_minhash_lsh", "dedup_minhash_signature", "dedup_ngram_jaccard",
     "dedup_paragraph", "dedup_simhash", "doc_fingerprint",
     "doc_rolling_hash", "domain_cap", "domain_stats", "dsir_weights",
+    "host_anchor_terms",
     "host_degree", "host_hits", "host_pagerank", "link_host_graph",
     "f4_ruby_decode",
     "f5_ruby_html_encode", "f6_whitespace_classify", "f7_space_normalize",
