@@ -43,8 +43,13 @@ def _extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML extraction leg over wrapped documents; inverts the wrap, so the
     DuckDB oracle is simply the original documents table."""
     from findtextcenternet_spark.pipeline import extract_html_udf
+    from findtextcenternet_spark.plans.relational import spread_input
 
-    pages = _wrap_documents_as_pages(spark, sf_dir)
+    # the sf documents fixture is a single one-row-group parquet file, so
+    # without the spread the whole pandas-UDF extraction stage runs as ONE
+    # task (optimization guide §2.5); conditional — a no-op on inputs that
+    # already scan wide
+    pages = spread_input(_wrap_documents_as_pages(spark, sf_dir))
     return pages.select(
         "doc_id", extract_html_udf(F.col("html")).alias("text"))
 

@@ -22,7 +22,42 @@ from .registry_core import SparkQuery, register, registry  # noqa: F401
 # kept so `from .relational import register` in sibling modules still works
 
 
+# Tables whose scans feed heavy PER-ROW compute (md5/minhash/regex/array
+# transforms over document text or embedding vectors). Their sf fixtures
+# are single parquet files with ONE row group, so the scan plans as ONE
+# task regardless of cores — the "unsplittable input" skew of the
+# optimization guide (§2.5), which serializes the whole map stage.
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan whose file layout under-parallelizes
+    the session (guide §2.5: repartition immediately after an unsplittable
+    read). Conditional on the ACTUAL scan split count, so at cluster scale
+    — where inputs arrive as many splittable files and the scan already
+    yields >= defaultParallelism tasks — no shuffle is ever added; the
+    exchange only exists when the alternative is idle cores, and it moves
+    just the (small, by construction) under-split input once."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _SPREAD_TABLES:
+        df = spread_input(df)
+    return df
+
+
+def _t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Plain scan without the input spread — for queries whose per-row
+    map work is trivial (a handful of md5s per doc) and whose cost is
+    iterative round-trip latency, where the extra exchange and the extra
+    tasks per tiny stage cost more than the idle cores do (measured:
+    host_pagerank 2.3 s → 4.3 s WITH the spread at sf1.0)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .relational import _t, register
+from .relational import _t, _t_raw, register
 
 _N_LINKS = 3        # outlinks derived per document
 _DAMP = 0.85        # classic damping factor
@@ -106,7 +106,7 @@ FROM links GROUP BY src_host, dst_host
 def link_host_graph(spark, sf_dir):
     """Weighted host→host edge list from the derived per-doc outlinks:
     one map-side projection, one shuffle on the edge key."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_raw(spark, sf_dir, "documents")
     return (host_link_edges_df(docs, _n_hosts(docs))
             .groupBy("src_host", "dst_host")
             .agg(F.count("*").alias("n_links")))
@@ -132,7 +132,7 @@ def host_degree(spark, sf_dir):
     counts, the first-order spam/quality signals of a crawl frontier.
     Two aggregations of the same derived edges, stitched with one full
     outer join on the (tiny) host key."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_raw(spark, sf_dir, "documents")
     links = host_link_edges_df(docs, _n_hosts(docs))
     o = (links.groupBy(F.col("src_host").alias("host"))
          .agg(F.countDistinct("dst_host").alias("out_deg"),
@@ -156,7 +156,8 @@ def host_degree(spark, sf_dir):
 
 def pagerank_from_edges(edges: DataFrame, hosts: DataFrame,
                         iters: int = _PR_ITERS,
-                        damp: float = _DAMP) -> DataFrame:
+                        damp: float = _DAMP,
+                        n_hosts: int | None = None) -> DataFrame:
     """Fixed-round power iteration over a weighted edge list
     ``(src_host, dst_host, w)`` and a node table ``(host)``.
 
@@ -167,8 +168,9 @@ def pagerank_from_edges(edges: DataFrame, hosts: DataFrame,
     aggregate on dst (ONE shuffle), and the new rank table is
     localCheckpoint-ed so round N's plan does not replay rounds 1..N-1
     (the cc.py idiom). The transition matrix is checkpointed once up
-    front for the same reason."""
-    n = hosts.count()
+    front for the same reason. ``n_hosts`` lets a caller that already
+    counted the host table skip the extra count job."""
+    n = n_hosts if n_hosts is not None else hosts.count()
     out = edges.groupBy("src_host").agg(F.sum("w").alias("wout"))
     # lazy localCheckpoint (the cc.py idiom): the first round's action is
     # what materializes each checkpoint, so every round costs ONE Spark
@@ -224,13 +226,13 @@ def host_pagerank(spark, sf_dir):
     power-iteration rounds at damping {_DAMP}. The DuckDB oracle unrolls
     the identical rounds as chained CTEs, so the fixpoint math itself is
     hash-checked, not just the plumbing."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_raw(spark, sf_dir, "documents")
     n = _n_hosts(docs)
     edges = (host_link_edges_df(docs, n)
              .groupBy("src_host", "dst_host")
              .agg(F.count("*").cast("double").alias("w")))
     hosts = docs.select(F.col("source").alias("host")).distinct()
-    return pagerank_from_edges(edges, hosts)
+    return pagerank_from_edges(edges, hosts, n_hosts=n)
 
 
 # --------------------------------------------------------------- HITS
@@ -239,7 +241,8 @@ _HITS_ITERS = 5
 
 
 def hits_from_edges(edges: DataFrame, hosts: DataFrame,
-                    iters: int = _HITS_ITERS) -> DataFrame:
+                    iters: int = _HITS_ITERS,
+                    n_hosts: int | None = None) -> DataFrame:
     """Kleinberg's HITS (1999) over a weighted edge list: per round,
     authority(v) = Σ_{u→v} w·hub(u), then hub(u) = Σ_{u→v} w·auth(v),
     each half-step L1-normalized (sum-to-one keeps every value an exact
@@ -250,8 +253,10 @@ def hits_from_edges(edges: DataFrame, hosts: DataFrame,
     stay |hosts| rows (AQE broadcasts them onto the edge side), each
     half-step is ONE shuffle on the aggregated endpoint, the L1 total is
     a 1-row aggregate crossJoined back (broadcast by construction), and
-    lazy localCheckpoints truncate lineage per half-step."""
-    n = hosts.count()
+    lazy localCheckpoints truncate lineage per half-step. ``n_hosts``
+    lets a caller that already counted the host table skip the extra
+    count job."""
+    n = n_hosts if n_hosts is not None else hosts.count()
     if n == 0:
         return hosts.select("host", F.lit(0.0).alias("hub"),
                             F.lit(0.0).alias("auth"))
@@ -325,13 +330,13 @@ def host_hits(spark, sf_dir):
     {_HITS_ITERS} mutually-recursive rounds, L1-normalized per half-step.
     The DuckDB oracle unrolls the identical half-steps as chained CTEs,
     hash-checking the fixpoint math like the PageRank entry."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_raw(spark, sf_dir, "documents")
     n = _n_hosts(docs)
     edges = (host_link_edges_df(docs, n)
              .groupBy("src_host", "dst_host")
              .agg(F.count("*").cast("double").alias("w")))
     hosts = docs.select(F.col("source").alias("host")).distinct()
-    return hits_from_edges(edges, hosts)
+    return hits_from_edges(edges, hosts, n_hosts=n)
 
 
 # -------------------------------------- DSIR importance-resampling weight
@@ -382,17 +387,23 @@ def dsir_weights(spark, sf_dir):
     b = tok.select("doc_id", "lang",
                    _hex_byte_col(F.md5(F.encode("t", "utf-8")))
                    .alias("bkt"))
-    raw = b.groupBy("bkt").agg(F.count("*").cast("double").alias("cr"))
-    tgt = (b.filter(F.col("lang") == "en")
-           .groupBy("bkt").agg(F.count("*").cast("double").alias("ct")))
-    tots = b.agg(
-        F.count("*").cast("double").alias("nr"),
+    # ONE aggregation pass computes the raw and target count tables
+    # together (ct = conditional count, identical to the oracle's separate
+    # tgt CTE after its coalesce-to-0), and the totals fold over the
+    # 256-row result instead of re-scanning the token stream — the
+    # guide-§2.3 "aggregate before you shuffle" shape: the explode+md5
+    # subtree runs twice (counts pass + per-doc scoring pass), not four
+    # times. All counts are integers < 2^53 held in doubles, so the
+    # arithmetic is bit-identical to the four-pass form.
+    cnt = b.groupBy("bkt").agg(
+        F.count("*").cast("double").alias("cr"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("double").alias("nt"))
+        .cast("double").alias("ct"))
+    tots = cnt.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     nb = float(_DSIR_BUCKETS)
-    w = (raw.join(tgt, "bkt", "left").crossJoin(tots)
+    w = (cnt.crossJoin(F.broadcast(tots))
          .select("bkt",
-                 (F.log((F.coalesce("ct", F.lit(0.0)) + 1.0)
+                 (F.log((F.col("ct") + 1.0)
                         / (F.col("nt") + nb))
                   - F.log((F.col("cr") + 1.0) / (F.col("nr") + nb)))
                  .alias("logw")))
@@ -444,7 +455,7 @@ def host_anchor_terms(spark, sf_dir):
     skew-split applies, and no global sort exists anywhere."""
     from pyspark.sql.window import Window
 
-    all_docs = _t(spark, sf_dir, "documents")
+    all_docs = _t_raw(spark, sf_dir, "documents")
     n = _n_hosts(all_docs)     # host space from the FULL table, like nh
     docs = all_docs.where(F.length("text") > 0)
     term = F.lower(F.element_at(F.split("text", " "), 1))
