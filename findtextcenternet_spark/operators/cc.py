@@ -29,24 +29,32 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
-def _norm(e: DataFrame) -> DataFrame:
-    """Canonical undirected edge set: (a=min, b=max), no self loops."""
-    return (e.where(F.col("a") != F.col("b"))
-            .select(F.least("a", "b").alias("a"),
-                    F.greatest("a", "b").alias("b"))
-            .distinct())
+def _norm(e: DataFrame, dedup: bool = True) -> DataFrame:
+    """Canonical undirected edge set: (a=min, b=max), no self loops.
+    ``dedup=False`` skips the distinct — used mid-round, where the next
+    star step's groupBy-min is idempotent under duplicate edges, so the
+    intermediate exchange the distinct would cost buys nothing (each
+    round still ends in a full dedup so the edge set cannot grow)."""
+    out = (e.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("a"),
+                   F.greatest("a", "b").alias("b")))
+    return out.distinct() if dedup else out
 
 
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to u's neighborhood
-    minimum (incl. u itself)."""
+    minimum (incl. u itself). Output is normalized but NOT deduped: the
+    only consumer is _small_star, whose groupBy-min tolerates duplicate
+    edges (min is idempotent) and whose own _norm dedups the round's
+    result — one exchange per round saved."""
     d = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
          .union(e.select(F.col("b").alias("u"), F.col("a").alias("v"))))
     m = (d.groupBy("u").agg(F.min("v").alias("mnv"))
          .select("u", F.least("u", "mnv").alias("m")))
     return _norm(d.join(m, "u")
                  .where(F.col("v") > F.col("u"))
-                 .select(F.col("v").alias("a"), F.col("m").alias("b")))
+                 .select(F.col("v").alias("a"), F.col("m").alias("b")),
+                 dedup=False)
 
 
 def _small_star(e: DataFrame) -> DataFrame:
