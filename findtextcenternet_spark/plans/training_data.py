@@ -215,9 +215,20 @@ def _lsh_candidate_pairs(spark, sf_dir):
 
 def lsh_verified_pairs_df(docs, threshold: float = 0.5):
     """LSH candidates verified by exact shingle-set Jaccard, over any
-    (doc_id, text) frame."""
-    pairs = lsh_candidate_pairs_df(docs)
-    sh = (_with_shingles(docs)
+    (doc_id, text) frame.
+
+    The verify side only ever joins candidate-pair ENDPOINTS — a tiny
+    fraction of the corpus (~0.01% of docs at scale) — so the shingle
+    arrays are built over a semi-join-pruned doc set, not the whole
+    corpus (guide §3.2: reduce the big side before computing/shuffling
+    it). The pair frame is localCheckpoint-ed first: it is small by
+    construction (bucketed LSH output) and both the endpoint set and the
+    final pair join read it, so the band self-join runs once."""
+    pairs = lsh_candidate_pairs_df(docs).localCheckpoint(eager=False)
+    ends = (pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct())
+    sh = (_with_shingles(docs.join(ends, "doc_id", "left_semi"))
           .select("doc_id", F.array_distinct("sh").alias("sh")))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -253,8 +264,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     band_key shuffle) — never an attribute-blocked self-join: a
     (lang, length-bucket) block holds millions of docs at corpus scale and
     goes quadratic. Word-set Jaccard is the verify metric; candidates only."""
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
-    w = (_t(spark, sf_dir, "documents")
+    # same §3.2 shape as lsh_verified_pairs_df: word sets are built only
+    # for candidate-pair endpoints (semi-join prune), off a checkpointed
+    # pair frame so the band self-join runs once
+    pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    ends = (pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct())
+    w = (_t(spark, sf_dir, "documents").join(ends, "doc_id", "left_semi")
          .select("doc_id", F.array_distinct(F.split("text", " ")).alias("words")))
     wa = w.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("w_a"))
     wb = w.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("w_b"))
