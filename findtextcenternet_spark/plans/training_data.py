@@ -1454,7 +1454,7 @@ def url_canonical_dedup(spark, sf_dir):
     (uppercase host, utm noise, fragments; same expression in the
     oracle). Row-local string ops + ONE groupBy on the canonical key —
     at 100 TB the shuffle moves only (canon_url) pairs."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_raw(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.ORG/P/"),
         (F.col("doc_id") % 40).cast("string"),
